@@ -1,0 +1,157 @@
+"""Typed configuration for the TPU-native framework.
+
+One config object replaces the reference's scattered module constants
+(chunk length / threshold / parallelism, reference gemini_pipeline.py:216-219;
+20 MB inline cap :354) and adds everything a local TPU stack needs: mesh
+shape, model dims, frontend parameters, and decode parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Log-mel frontend parameters.
+
+    The math mirrors the browser analyzer the reference ships (Hann window,
+    HTK mel scale, pre-emphasis; public/static/app.js:2762-2886) at standard
+    ASR hyperparameters.
+    """
+
+    sample_rate: int = 16_000
+    n_fft: int = 1024           # 15.6 Hz bins: keeps the lowest of 128 mel
+    #                             filters non-empty; 513 freqs pad to 640 lanes
+    win_length: int = 400       # 25 ms @ 16 kHz
+    hop_length: int = 160       # 10 ms @ 16 kHz
+    n_mels: int = 128           # lane-aligned (128) for TPU tiling
+    f_min: float = 0.0
+    f_max: Optional[float] = None  # default: sample_rate / 2
+    preemphasis: float = 0.97
+    log_floor: float = 1e-10
+
+    @property
+    def fmax(self) -> float:
+        return self.f_max if self.f_max is not None else self.sample_rate / 2.0
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def frames_for_samples(self, n_samples: int) -> int:
+        """Number of STFT frames for a sample count (center=False)."""
+        if n_samples < self.win_length:
+            return 0
+        return 1 + (n_samples - self.win_length) // self.hop_length
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Conformer encoder dimensions. Defaults are TPU-tile aligned."""
+
+    d_model: int = 512
+    n_layers: int = 12
+    n_heads: int = 8
+    ffn_mult: int = 4
+    conv_kernel: int = 32
+    subsample_factor: int = 4   # two stride-2 convs on the mel axis
+    dropout: float = 0.1
+    dtype: str = "bfloat16"     # compute dtype; params kept fp32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+@dataclass(frozen=True)
+class VocabConfig:
+    """Byte-level universal vocabulary.
+
+    Using UTF-8 bytes makes the CTC head language-agnostic across the
+    1600+ languages the reference claims (README.md:96-107) with no
+    per-language tokenizer: blank=0, bytes 1..256 map byte value b -> id b+1.
+    Padded to 512 classes so the logits matmul tiles cleanly on the MXU.
+    """
+
+    blank_id: int = 0
+    n_bytes: int = 256
+    vocab_size: int = 512  # blank + 256 bytes + padding to a lane multiple
+
+    def byte_to_id(self, b: int) -> int:
+        return b + 1
+
+    def id_to_byte(self, i: int) -> int:
+        return i - 1
+
+
+@dataclass(frozen=True)
+class ChunkingConfig:
+    """Long-audio chunking envelope (reference gemini_pipeline.py:216-219)."""
+
+    chunk_duration_s: float = 300.0       # CHUNK_DURATION_SECONDS
+    min_duration_for_chunking_s: float = 360.0  # MIN_DURATION_FOR_CHUNKING
+    max_parallel_chunks: int = 4          # becomes per-host dispatch width
+    overlap_s: float = 0.0                # optional overlap for merge fixes
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh shape. axis order: (data, model)."""
+
+    data: int = -1   # -1: all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> Tuple[int, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else max(1, n_devices // model)
+        return data, model
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    """CTC decode + segmentation parameters."""
+
+    beam_size: int = 1                # 1 = greedy
+    segment_min_s: float = 2.0        # segment granularity contract
+    segment_max_s: float = 10.0       # (reference prompt, gemini_pipeline.py:206)
+    blank_gap_s: float = 0.35         # blank run length that splits segments
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level framework config."""
+
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    vocab: VocabConfig = field(default_factory=VocabConfig)
+    chunking: ChunkingConfig = field(default_factory=ChunkingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    checkpoint_path: Optional[str] = None
+    max_retries: int = 3              # reference gemini_pipeline.py:689
+    seed: int = 0
+
+    @staticmethod
+    def from_env() -> "PipelineConfig":
+        """Build a config honoring the reference's env-var names where they
+        exist (GEMINI_API_KEY is accepted but unused — inference is local)."""
+        kwargs = {}
+        ckpt = os.getenv("OMNIASR_CHECKPOINT")
+        if ckpt:
+            kwargs["checkpoint_path"] = ckpt
+        return PipelineConfig(**kwargs)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config() -> PipelineConfig:
+    """Small config for tests / CPU-mesh CI runs."""
+    return PipelineConfig(
+        encoder=EncoderConfig(d_model=128, n_layers=2, n_heads=2, conv_kernel=8),
+        frontend=FrontendConfig(),
+    )
