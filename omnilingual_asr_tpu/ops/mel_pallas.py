@@ -64,11 +64,16 @@ def build_mel_constants(cfg: FrontendConfig):
 
 
 def _mel_kernel(log_floor, f_ref, c_ref, s_ref, fb_ref, out_ref):
+    # precision=HIGHEST: the DFT needs true f32 accumulation (default
+    # precision runs bf16 MXU passes, a ~-35 dB noise floor; HIGHEST keeps
+    # the feature noise floor below -100 dB at negligible frontend cost).
+    hi = jax.lax.Precision.HIGHEST
     f = f_ref[:]
-    re = jnp.dot(f, c_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, s_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(f, c_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(f, s_ref[:], preferred_element_type=jnp.float32, precision=hi)
     power = re * re + im * im
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
     out_ref[:] = jnp.log(jnp.maximum(mel, log_floor))
 
 
