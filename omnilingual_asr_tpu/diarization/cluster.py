@@ -1,0 +1,91 @@
+"""Speaker clustering: agglomerative (average-linkage) clustering over
+L2-normalized segment speaker embeddings.
+
+Replaces the diarization the reference outsources to Gemini (prompt
+requirement #1, reference gemini_pipeline.py:204). Because clustering runs
+once over ALL segments of a file — across chunk boundaries — speaker labels
+are globally consistent, fixing the reference's known defect where each 300 s
+chunk independently restarts at "Speaker 1" (SURVEY.md §5, long-context row;
+reference merge at gemini_pipeline.py:643-678 never reconciles labels).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+# Cosine-distance merge threshold for unknown speaker counts. Untuned
+# (no trained speaker model yet); conservative default.
+DEFAULT_THRESHOLD = 0.45
+
+
+def ahc_labels(embeds: np.ndarray, n_clusters: Optional[int] = None,
+               threshold: float = DEFAULT_THRESHOLD) -> np.ndarray:
+    """Average-linkage AHC on cosine distance.
+
+    embeds: [N, D] (need not be normalized). If ``n_clusters`` is given
+    (the ``speaker_count`` hint path, reference gemini_pipeline.py:468-469),
+    merge to exactly that many clusters; otherwise merge while the closest
+    pair is under ``threshold``.
+
+    Returns int labels [N] renumbered by first appearance (0, 1, ...), so
+    label 0 is the first speaker heard — matching "Speaker 1" semantics.
+    """
+    n = len(embeds)
+    if n == 0:
+        return np.zeros((0,), dtype=np.int64)
+    x = embeds / np.maximum(np.linalg.norm(embeds, axis=1, keepdims=True), 1e-9)
+    if n_clusters is not None:
+        n_clusters = max(1, min(int(n_clusters), n))
+    if n == 1 or n_clusters == 1:
+        return np.zeros((n,), dtype=np.int64)
+
+    # Distance matrix (cosine distance).
+    d = 1.0 - x @ x.T
+    np.fill_diagonal(d, np.inf)
+    # Active cluster bookkeeping: members per cluster; distances kept
+    # average-linkage via weighted (Lance-Williams) update.
+    sizes = np.ones(n)
+    active = np.ones(n, dtype=bool)
+    parent = np.arange(n)
+
+    def n_active():
+        return int(active.sum())
+
+    target = n_clusters if n_clusters is not None else 1
+    while n_active() > target:
+        i, j = np.unravel_index(np.argmin(d), d.shape)
+        if n_clusters is None and d[i, j] > threshold:
+            break
+        if i > j:
+            i, j = j, i
+        # Average-linkage distance update into cluster i.
+        wi, wj = sizes[i], sizes[j]
+        new_d = (wi * d[i] + wj * d[j]) / (wi + wj)
+        d[i, :] = new_d
+        d[:, i] = new_d
+        d[i, i] = np.inf
+        d[j, :] = np.inf
+        d[:, j] = np.inf
+        sizes[i] = wi + wj
+        active[j] = False
+        parent[parent == j] = i
+
+    # Renumber by first appearance.
+    labels = np.full(n, -1, dtype=np.int64)
+    next_label = 0
+    for k in range(n):
+        root = parent[k]
+        first = np.flatnonzero(parent == root)[0]
+        if labels[first] == -1:
+            labels[first] = next_label
+            next_label += 1
+        labels[k] = labels[first]
+    return labels
+
+
+def speaker_names(labels: np.ndarray) -> List[str]:
+    """Map first-appearance labels to 'Speaker N' strings (default speaker
+    naming, reference gemini_pipeline.py:435)."""
+    return [f"Speaker {int(l) + 1}" for l in labels]

@@ -1,0 +1,88 @@
+"""Language inventory for the LID head.
+
+The reference claims 1600+ languages via its citation to the Omnilingual-ASR
+paper (reference README.md:96-107) but carries no language table of its own —
+language names/codes come back from Gemini free-form (schema,
+gemini_pipeline.py:164-175). Locally the LID head emits class ids; this table
+maps ids to ``{"name": ..., "code": ...}`` dicts in the exact shape the
+schema uses.
+
+Ids 0..len(KNOWN_LANGUAGES)-1 are curated (ISO 639-1 where one exists,
+else 639-3). The head is sized N_LANGS=2048; ids beyond the curated list
+decode as ("Language <id>", "und") until the inventory is extended, so the
+contract never breaks on an untrained/partially-trained head.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+# (name, code) — English first: id 0 is the default/fallback language.
+KNOWN_LANGUAGES: List[Tuple[str, str]] = [
+    ("English", "en"), ("Mandarin Chinese", "zh"), ("Spanish", "es"),
+    ("Hindi", "hi"), ("Arabic", "ar"), ("Bengali", "bn"), ("Portuguese", "pt"),
+    ("Russian", "ru"), ("Japanese", "ja"), ("Punjabi", "pa"), ("German", "de"),
+    ("French", "fr"), ("Javanese", "jv"), ("Korean", "ko"), ("Telugu", "te"),
+    ("Vietnamese", "vi"), ("Marathi", "mr"), ("Tamil", "ta"), ("Urdu", "ur"),
+    ("Turkish", "tr"), ("Italian", "it"), ("Thai", "th"), ("Gujarati", "gu"),
+    ("Persian", "fa"), ("Polish", "pl"), ("Pashto", "ps"), ("Kannada", "kn"),
+    ("Malayalam", "ml"), ("Sundanese", "su"), ("Hausa", "ha"), ("Odia", "or"),
+    ("Burmese", "my"), ("Ukrainian", "uk"), ("Indonesian", "id"),
+    ("Tagalog", "tl"), ("Dutch", "nl"), ("Romanian", "ro"), ("Greek", "el"),
+    ("Czech", "cs"), ("Swedish", "sv"), ("Hungarian", "hu"), ("Hebrew", "he"),
+    ("Swahili", "sw"), ("Amharic", "am"), ("Yoruba", "yo"), ("Igbo", "ig"),
+    ("Zulu", "zu"), ("Xhosa", "xh"), ("Afrikaans", "af"), ("Somali", "so"),
+    ("Nepali", "ne"), ("Sinhala", "si"), ("Khmer", "km"), ("Lao", "lo"),
+    ("Mongolian", "mn"), ("Kazakh", "kk"), ("Uzbek", "uz"), ("Azerbaijani", "az"),
+    ("Georgian", "ka"), ("Armenian", "hy"), ("Albanian", "sq"), ("Serbian", "sr"),
+    ("Croatian", "hr"), ("Bosnian", "bs"), ("Slovenian", "sl"), ("Slovak", "sk"),
+    ("Bulgarian", "bg"), ("Macedonian", "mk"), ("Lithuanian", "lt"),
+    ("Latvian", "lv"), ("Estonian", "et"), ("Finnish", "fi"), ("Danish", "da"),
+    ("Norwegian", "no"), ("Icelandic", "is"), ("Irish", "ga"), ("Welsh", "cy"),
+    ("Basque", "eu"), ("Catalan", "ca"), ("Galician", "gl"), ("Malay", "ms"),
+    ("Cebuano", "ceb"), ("Malagasy", "mg"), ("Haitian Creole", "ht"),
+    ("Quechua", "qu"), ("Aymara", "ay"), ("Guarani", "gn"), ("Maori", "mi"),
+    ("Samoan", "sm"), ("Tongan", "to"), ("Fijian", "fj"), ("Hawaiian", "haw"),
+    ("Tibetan", "bo"), ("Uyghur", "ug"), ("Kyrgyz", "ky"), ("Tajik", "tg"),
+    ("Turkmen", "tk"), ("Kurdish", "ku"), ("Sindhi", "sd"), ("Balochi", "bal"),
+    ("Dari", "prs"), ("Assamese", "as"), ("Maithili", "mai"), ("Bhojpuri", "bho"),
+    ("Santali", "sat"), ("Konkani", "gom"), ("Dogri", "doi"), ("Manipuri", "mni"),
+    ("Bodo", "brx"), ("Kashmiri", "ks"), ("Sanskrit", "sa"), ("Dzongkha", "dz"),
+    ("Tswana", "tn"), ("Sotho", "st"), ("Shona", "sn"), ("Ndebele", "nd"),
+    ("Kinyarwanda", "rw"), ("Kirundi", "rn"), ("Luganda", "lg"), ("Lingala", "ln"),
+    ("Kikongo", "kg"), ("Tshiluba", "lua"), ("Wolof", "wo"), ("Fula", "ff"),
+    ("Bambara", "bm"), ("Ewe", "ee"), ("Twi", "tw"), ("Ga", "gaa"),
+    ("Akan", "ak"), ("Oromo", "om"), ("Tigrinya", "ti"), ("Afar", "aa"),
+    ("Luo", "luo"), ("Kikuyu", "ki"), ("Kamba", "kam"), ("Maasai", "mas"),
+    ("Lisu", "lis"), ("Lahu", "lhu"), ("Akha", "ahk"), ("Karen", "kar"),
+    ("Hmong", "hmn"), ("Mien", "ium"), ("Shan", "shn"), ("Kachin", "kac"),
+    ("Chin", "cnh"), ("Naga", "nag"), ("Mizo", "lus"), ("Garo", "grt"),
+    ("Khasi", "kha"), ("Esperanto", "eo"), ("Latin", "la"), ("Yiddish", "yi"),
+    ("Ladino", "lad"), ("Romani", "rom"), ("Cherokee", "chr"), ("Navajo", "nv"),
+    ("Inuktitut", "iu"), ("Greenlandic", "kl"), ("Cree", "cr"), ("Ojibwe", "oj"),
+    ("Nahuatl", "nah"), ("Maya", "myn"), ("Mapudungun", "arn"),
+]
+
+
+def language_for_id(lang_id: int) -> Dict[str, str]:
+    """LID class id -> {"name", "code"} (schema shape,
+    reference gemini_pipeline.py:164-175)."""
+    if 0 <= lang_id < len(KNOWN_LANGUAGES):
+        name, code = KNOWN_LANGUAGES[lang_id]
+        return {"name": name, "code": code}
+    return {"name": f"Language {lang_id}", "code": "und"}
+
+
+_BY_CODE = {code: i for i, (_, code) in enumerate(KNOWN_LANGUAGES)}
+_BY_NAME = {name.lower(): i for i, (name, _) in enumerate(KNOWN_LANGUAGES)}
+
+
+def id_for_language(hint: str) -> int:
+    """Resolve a user language hint ('en', 'English', ...) to a class id;
+    -1 if unknown."""
+    if not hint:
+        return -1
+    h = hint.strip().lower()
+    if h in _BY_CODE:
+        return _BY_CODE[h]
+    return _BY_NAME.get(h, -1)

@@ -1,0 +1,155 @@
+"""End-to-end engine + public pipeline tests (tiny model, CPU mesh).
+
+The model is untrained, so text content is arbitrary — these tests verify
+the CONTRACT: progress steps, result shapes, defaults, chunking dispatch,
+speaker-count hints, and the public API facade. (SURVEY §4: the reference
+ships zero tests; its seam for hermetic testing is the engine object held by
+the facade, which we exercise directly.)
+"""
+
+import numpy as np
+import pytest
+
+from omnilingual_asr_tpu.config import tiny_config
+from omnilingual_asr_tpu.types import EMOTIONS
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+    return TranscriptionEngine(config=tiny_config(),
+                               batch_windows_per_device=1,
+                               window_seconds=10.0)
+
+
+@pytest.fixture(scope="module")
+def speech_wav(tmp_path_factory):
+    """Synthetic 'speech': modulated harmonics, 12 s @ 16 kHz mono."""
+    import wave
+
+    sr = 16000
+    t = np.arange(12 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 130 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+         + 0.1 * np.sin(2 * np.pi * 520 * t))
+    x = (x * 20000).astype("<i2")
+    p = tmp_path_factory.mktemp("audio") / "speech.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return p
+
+
+class TestEngineContract:
+    def test_progress_steps_in_order(self, engine, speech_wav):
+        steps = []
+        engine.transcribe(speech_wav,
+                          progress_callback=lambda s, i: steps.append((s, i)))
+        assert steps == [("uploading", 0), ("transcribing", 1),
+                         ("processing", 2), ("done", 3)]
+
+    def test_result_shapes(self, engine, speech_wav):
+        res = engine.transcribe(speech_wav)
+        assert res.summary is None or isinstance(res.summary, str)
+        for seg in res.segments:
+            assert seg.end > seg.start
+            assert seg.speaker.startswith("Speaker ")
+            assert seg.emotion in EMOTIONS
+            assert isinstance(seg.text, str)
+            if seg.languages:
+                assert {"name", "code"} <= set(seg.languages[0])
+                assert seg.language == seg.languages[0]["name"]
+                assert seg.language_code == seg.languages[0]["code"]
+        if res.detected_languages:
+            codes = [l["code"] for l in res.detected_languages]
+            assert len(codes) == len(set(codes))  # deduped by code
+
+    def test_summary_mentions_speakers_and_tone(self, engine, speech_wav):
+        res = engine.transcribe(speech_wav)
+        if res.segments:
+            assert "speaker" in res.summary.lower()
+            assert any(e in res.summary for e in EMOTIONS)
+
+    def test_speaker_count_hint(self, engine, speech_wav):
+        res = engine.transcribe(speech_wav, speaker_count="1")
+        speakers = {s.speaker for s in res.segments}
+        assert speakers <= {"Speaker 1"}
+
+    def test_language_hint_promotes(self, engine, speech_wav):
+        res = engine.transcribe(speech_wav, language="en")
+        # hint only reorders when detected; must never crash
+        assert res is not None
+
+    def test_retry_dispatch_short_file(self, engine, speech_wav, monkeypatch):
+        calls = []
+        orig = engine.transcribe
+        monkeypatch.setattr(engine, "transcribe",
+                            lambda *a, **k: calls.append("single") or orig(*a, **k))
+        engine.transcribe_with_retry(speech_wav)
+        assert calls == ["single"]
+
+    def test_retry_retries_then_raises(self, engine, speech_wav, monkeypatch):
+        import omnilingual_asr_tpu.engine as eng_mod
+
+        attempts = []
+
+        def boom(*a, **k):
+            attempts.append(1)
+            raise ValueError("injected")
+
+        monkeypatch.setattr(engine, "transcribe", boom)
+        monkeypatch.setattr(eng_mod.time, "sleep", lambda s: None)
+        with pytest.raises(RuntimeError, match="Failed to transcribe after 3"):
+            engine.transcribe_with_retry(speech_wav)
+        assert len(attempts) == 3
+
+    def test_multi_window_offsets_monotonic(self, engine, speech_wav):
+        # 12 s file with 10 s windows -> 2 windows; segment times must be
+        # globally increasing across the window boundary (offset merge,
+        # reference semantics gemini_pipeline.py:555-569).
+        res = engine.transcribe(speech_wav)
+        starts = [s.start for s in res.segments]
+        assert starts == sorted(starts)
+
+
+class TestPublicPipeline:
+    def test_facade_and_properties(self, speech_wav):
+        from omnilingual_asr import GeminiDiarizedTranscriptionPipeline
+        from omnilingual_asr.diarization import DiarizedTranscriptSegment
+
+        pipe = GeminiDiarizedTranscriptionPipeline(
+            config=tiny_config(), batch_windows_per_device=1,
+            window_seconds=10.0)
+        segs = pipe.transcribe(str(speech_wav), word_timestamps=True)
+        assert isinstance(segs, list)
+        for s in segs:
+            assert isinstance(s, DiarizedTranscriptSegment)
+            if s.words:
+                assert all(w.end >= w.start for w in s.words)
+        # properties cached from last run (reference pipeline.py:63-71)
+        assert pipe.summary is None or isinstance(pipe.summary, str)
+        assert pipe.detected_languages is None or isinstance(
+            pipe.detected_languages, list)
+
+    def test_api_key_ignored(self, speech_wav):
+        from omnilingual_asr import GeminiDiarizedTranscriptionPipeline
+
+        # reference requires GEMINI_API_KEY; local engine must not
+        pipe = GeminiDiarizedTranscriptionPipeline(
+            api_key="unused", config=tiny_config(),
+            batch_windows_per_device=1, window_seconds=10.0)
+        assert pipe.gemini is not None
+
+    def test_empty_audio(self, engine, tmp_path):
+        import wave
+
+        p = tmp_path / "empty.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(b"")
+        res = engine.transcribe(p)
+        assert res.segments == []

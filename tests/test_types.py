@@ -1,0 +1,108 @@
+"""Contract tests: timestamp parsing, result types, language table."""
+
+import dataclasses
+
+from omnilingual_asr_tpu.models.languages import (
+    KNOWN_LANGUAGES,
+    id_for_language,
+    language_for_id,
+)
+from omnilingual_asr_tpu.types import (
+    EMOTIONS,
+    PROGRESS_STEPS,
+    format_timestamp,
+    parse_timestamp,
+)
+
+
+class TestParseTimestamp:
+    """Semantics of reference gemini_pipeline.py:73-103."""
+
+    def test_mm_ss(self):
+        assert parse_timestamp("01:30") == 90.0
+        assert parse_timestamp("0:05") == 5.0
+
+    def test_h_mm_ss(self):
+        assert parse_timestamp("1:02:03") == 3723.0
+
+    def test_raw_seconds(self):
+        assert parse_timestamp("42.5") == 42.5
+
+    def test_fractional_seconds_in_mm_ss(self):
+        assert parse_timestamp("01:30.25") == 90.25
+
+    def test_empty_and_garbage(self):
+        assert parse_timestamp("") == 0.0
+        assert parse_timestamp("abc") == 0.0
+        assert parse_timestamp("a:b") == 0.0
+
+    def test_whitespace(self):
+        assert parse_timestamp("  02:00  ") == 120.0
+
+    def test_format_roundtrip(self):
+        assert parse_timestamp(format_timestamp(90)) == 90.0
+        assert parse_timestamp(format_timestamp(3723)) == 3723.0
+        assert format_timestamp(5) == "00:05"
+
+
+class TestContracts:
+    def test_progress_steps(self):
+        # reference diarization/pipeline.py:89-90
+        assert PROGRESS_STEPS == ("uploading", "transcribing", "processing", "done")
+
+    def test_emotions_enum(self):
+        # reference gemini_pipeline.py:133-136
+        assert EMOTIONS == ("happy", "sad", "angry", "neutral")
+
+    def test_public_segment_fields(self):
+        from omnilingual_asr.diarization import DiarizedTranscriptSegment
+
+        fields = [f.name for f in dataclasses.fields(DiarizedTranscriptSegment)]
+        # exact field set + order of reference pipeline.py:23-37
+        assert fields == ["start", "end", "speaker", "text", "words",
+                          "language", "language_code", "languages",
+                          "emotion", "translation"]
+
+    def test_package_exports(self):
+        import omnilingual_asr as pkg
+
+        assert pkg.__version__ == "0.2.0"
+        for name in ("GeminiASRPipeline", "GeminiTranscriptionResult",
+                     "GeminiTranscriptSegment",
+                     "GeminiDiarizedTranscriptionPipeline"):
+            assert hasattr(pkg, name), name
+
+    def test_engine_module_surface(self):
+        from omnilingual_asr.models.inference import gemini_pipeline as gp
+
+        assert gp.CHUNK_DURATION_SECONDS == 300
+        assert gp.MIN_DURATION_FOR_CHUNKING == 360
+        assert gp.MAX_PARALLEL_CHUNKS == 4
+        assert callable(gp.parse_timestamp)
+        assert callable(gp.get_audio_duration)
+        assert callable(gp.split_audio_into_chunks)
+
+
+class TestLanguages:
+    def test_english_is_default_id(self):
+        assert language_for_id(0) == {"name": "English", "code": "en"}
+
+    def test_roundtrip(self):
+        all_codes = {c for _, c in KNOWN_LANGUAGES}
+        for i, (name, code) in enumerate(KNOWN_LANGUAGES):
+            assert id_for_language(code) == i
+            # code lookup wins for ambiguous hints (e.g. "Ga" vs code "ga")
+            if name.lower() not in all_codes:
+                assert id_for_language(name) == i
+
+    def test_unknown(self):
+        assert id_for_language("zzz-nonexistent") == -1
+        assert language_for_id(9999) == {"name": "Language 9999", "code": "und"}
+
+    def test_no_duplicate_codes(self):
+        codes = [c for _, c in KNOWN_LANGUAGES]
+        assert len(codes) == len(set(codes))
+
+    def test_lisu_present(self):
+        # needed for the bundled "Samuel Speaking Lisu.mp3" config
+        assert id_for_language("lis") >= 0
