@@ -39,11 +39,16 @@ class TestCollapse:
 
 class TestSegmentation:
     def make_frames(self, phrases, gap_frames, frame_ids_len=None):
-        """Lay out phrases separated by blank runs."""
+        """Lay out phrases separated by blank runs; a blank frame is inserted
+        between repeated bytes so CTC collapse preserves doubles ("ll")."""
         frames = []
         for p in phrases:
+            prev = None
             for b in ids_for(p):
+                if b == prev:
+                    frames.append(0)
                 frames.append(b)
+                prev = b
             frames.extend([0] * gap_frames)
         return np.array(frames)
 
