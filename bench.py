@@ -1,0 +1,78 @@
+"""Headline benchmark: end-to-end real-time factor per chip.
+
+Measures the full pipeline (host decode -> Pallas log-mel -> conformer+heads
+-> CTC/LID/emotion/speaker assembly -> diarization clustering) on synthetic
+speech-like audio, steady-state (after one warmup pass), on whatever
+accelerator is attached.
+
+Prints ONE JSON line:
+  {"metric": "rtf_per_chip", "value": N, "unit": "x_realtime",
+   "vs_baseline": N / 300}
+vs_baseline is against the BASELINE.json north-star target of >=300x
+real-time per chip (the reference itself publishes no perf numbers —
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import wave
+from pathlib import Path
+
+import numpy as np
+
+AUDIO_SECONDS = 240.0
+TARGET_RTF = 300.0
+
+
+def make_audio(path: Path, seconds: float, sr: int = 16000) -> None:
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    # Speech-like: pitch-modulated harmonics + colored noise + pauses.
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.5 * t)
+    x = 0.3 * np.sin(2 * np.pi * f0 * t) + 0.15 * np.sin(2 * np.pi * 2.1 * f0 * t)
+    x += 0.05 * rng.standard_normal(len(t))
+    gate = (np.sin(2 * np.pi * 0.25 * t) > -0.7).astype(np.float32)
+    x = (x * gate * 20000).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+def main() -> None:
+    import jax
+
+    from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+    wav = Path("/tmp/omniasr_bench.wav")
+    if not wav.exists():
+        make_audio(wav, AUDIO_SECONDS)
+
+    engine = TranscriptionEngine(batch_windows_per_device=8)
+
+    # Warmup (compile + first dispatch).
+    engine.transcribe(wav)
+
+    t0 = time.perf_counter()
+    result = engine.transcribe(wav)
+    elapsed = time.perf_counter() - t0
+
+    rtf = AUDIO_SECONDS / elapsed
+    print(json.dumps({
+        "metric": "rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / TARGET_RTF, 4),
+    }))
+    # Context for humans (stderr, not part of the contract).
+    print(f"# backend={jax.default_backend()} devices={len(jax.devices())} "
+          f"elapsed={elapsed:.2f}s segments={len(result.segments)}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

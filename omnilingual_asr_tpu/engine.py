@@ -37,7 +37,7 @@ from .diarization.cluster import ahc_labels
 from .models import languages as lang_table
 from .models.conformer import asr_forward, asr_init, asr_param_specs
 from .ops.ctc import DecodedSegment, segments_from_alignment
-from .ops.mel_pallas import BLOCK_T, MelFrontend
+from .ops.mel_pallas import BLOCK_T, MelFrontend, log_mel_frames_pallas
 from .parallel.mesh import build_mesh, shard_params
 from .types import (
     EMOTIONS,
@@ -106,18 +106,54 @@ class TranscriptionEngine:
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mel_sharding = NamedSharding(self.mesh, P("data", None, None))
-        mask_sharding = NamedSharding(self.mesh, P("data", None))
+        samples_sharding = NamedSharding(self.mesh, P("data", None))
+        nvalid_sharding = NamedSharding(self.mesh, P("data"))
         param_shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), specs,
             is_leaf=lambda x: isinstance(x, P))
 
-        def fwd(params, mel, mask):
-            return asr_forward(params, mel, mask, cfg)
+        fe_dev = self._frontend
+        window_frames = self.window_frames
+        n_real_classes = 1 + cfg.vocab.n_bytes
 
-        self._forward = jax.jit(
-            fwd,
-            in_shardings=(param_shardings, mel_sharding, mask_sharding),
+        def process(params, samples, n_valid_frames):
+            """One fused XLA program: raw samples -> compact head outputs.
+
+            samples: [B, window_samples] f32; n_valid_frames: [B] i32.
+            Keeping the whole per-batch pipeline in a single jit matters
+            doubly on TPU: XLA fuses the frontend into the encoder schedule,
+            and the host dispatches one call per batch instead of hundreds
+            of eager ops (which would serialize on dispatch latency).
+            """
+            B = samples.shape[0]
+
+            def frames_one(x):
+                return fe_dev.frames_from_signal(x)[0]  # [T_pad, n_fft]
+
+            frames_b = jax.vmap(frames_one)(samples)
+            T_pad = frames_b.shape[1]
+            flat = frames_b.reshape(B * T_pad, cfg.frontend.n_fft)
+            mel = log_mel_frames_pallas(flat, fe_dev.cw, fe_dev.sw,
+                                        fe_dev.fb, cfg.frontend,
+                                        interpret=fe_dev.interpret)
+            mel = mel.reshape(B, T_pad, -1)[:, :window_frames]  # [B, T, mels]
+            frame_idx = jnp.arange(window_frames)[None, :]
+            mask = frame_idx < n_valid_frames[:, None]  # [B, T]
+            out = asr_forward(params, mel, mask, cfg)
+            ctc_ids = jnp.argmax(
+                out["ctc_logits"][..., :n_real_classes], axis=-1)
+            lid_ids = jnp.argmax(out["lid_logits"], axis=-1)
+            return {
+                "ctc_ids": ctc_ids.astype(jnp.int32),
+                "lid_ids": lid_ids.astype(jnp.int32),
+                "emotion_logits": out["emotion_logits"],
+                "speaker_embed": out["speaker_embed"],
+                "mask": out["mask"],
+            }
+
+        self._process = jax.jit(
+            process,
+            in_shardings=(param_shardings, samples_sharding, nvalid_sharding),
         )
 
     # ------------------------------------------------------------------
@@ -169,31 +205,17 @@ class TranscriptionEngine:
 
         for b0 in range(0, n_win, B):
             batch = windows[b0:b0 + B]
-            mels = []
-            masks = []
-            for k, (off, w) in enumerate(batch):
-                mel = self._frontend(jnp.asarray(w))  # [n_frames, n_mels]
-                T = self.window_frames
-                nf = mel.shape[0]
-                if nf < T:
-                    mel = jnp.pad(mel, ((0, T - nf), (0, 0)))
-                else:
-                    mel = mel[:T]
-                mask = np.zeros((T,), dtype=bool)
-                mask[: min(valid[b0 + k], T)] = True
-                mels.append(mel)
-                masks.append(mask)
-            while len(mels) < B:  # pad batch to static size
-                mels.append(jnp.zeros_like(mels[0]))
-                masks.append(np.zeros_like(masks[0]))
-            mel_b = jnp.stack(mels)
-            mask_b = jnp.asarray(np.stack(masks))
-            out = self._forward(self.params, mel_b, mask_b)
-            # Restrict argmax to real classes (blank + 256 bytes); ids above
-            # are MXU-alignment padding (config.py VocabConfig).
-            n_real = 1 + cfg.vocab.n_bytes
-            ctc = np.asarray(jnp.argmax(out["ctc_logits"][..., :n_real], axis=-1))
-            lid = np.asarray(out["lid_logits"], dtype=np.float32)
+            sample_rows = [w for _, w in batch]
+            n_valid = [min(valid[b0 + k], self.window_frames)
+                       for k in range(len(batch))]
+            while len(sample_rows) < B:  # pad batch to static size
+                sample_rows.append(np.zeros_like(sample_rows[0]))
+                n_valid.append(0)
+            samples_b = jnp.asarray(np.stack(sample_rows))
+            nvalid_b = jnp.asarray(np.asarray(n_valid, np.int32))
+            out = self._process(self.params, samples_b, nvalid_b)
+            ctc = np.asarray(out["ctc_ids"])
+            lid = np.asarray(out["lid_ids"])
             emo = np.asarray(out["emotion_logits"], dtype=np.float32)
             spk = np.asarray(out["speaker_embed"], dtype=np.float32)
             sub_mask = np.asarray(out["mask"])
@@ -202,7 +224,7 @@ class TranscriptionEngine:
                 results.append({
                     "offset_s": batch[k][0],
                     "ctc_ids": ctc[k, :nf_sub],
-                    "lid_logits": lid[k, :nf_sub],
+                    "lid_ids": lid[k, :nf_sub],
                     "emotion_logits": emo[k, :nf_sub],
                     "speaker_embed": spk[k, :nf_sub],
                 })
@@ -227,12 +249,11 @@ class TranscriptionEngine:
                 time_offset_s=w["offset_s"])
             for s in segs:
                 f0, f1 = s.frame_start, s.frame_end
-                lid_mean = w["lid_logits"][f0:f1].mean(axis=0)
                 emo_mean = w["emotion_logits"][f0:f1].mean(axis=0)
                 spk_mean = w["speaker_embed"][f0:f1].mean(axis=0)
-                lid_frames = w["lid_logits"][f0:f1].argmax(axis=-1)
+                lid_frames = w["lid_ids"][f0:f1]
                 decoded.append(s)
-                seg_meta.append((lid_mean, emo_mean, spk_mean, lid_frames))
+                seg_meta.append((emo_mean, spk_mean, lid_frames))
 
         if not decoded:
             return TranscriptionResult(summary=None, segments=[],
@@ -245,7 +266,7 @@ class TranscriptionEngine:
                 n_clusters = max(1, int(str(speaker_count).strip()))
             except ValueError:
                 n_clusters = None
-        embeds = np.stack([m[2] for m in seg_meta])
+        embeds = np.stack([m[1] for m in seg_meta])
         labels = ahc_labels(embeds, n_clusters=n_clusters)
 
         # --- languages + emotions per segment ---
@@ -254,9 +275,9 @@ class TranscriptionEngine:
         seen_codes = set()
         emotion_counts = np.zeros(len(EMOTIONS))
 
-        for s, (lid_mean, emo_mean, _, lid_frames), lab in zip(
+        for s, (emo_mean, _, lid_frames), lab in zip(
                 decoded, seg_meta, labels):
-            langs = self._segment_languages(lid_mean, lid_frames, lang_hint_id)
+            langs = self._segment_languages(lid_frames, lang_hint_id)
             primary = langs[0]
             # Global language aggregation, first-appearance order, deduped by
             # code (reference parse semantics, gemini_pipeline.py:412-419).
@@ -300,7 +321,7 @@ class TranscriptionEngine:
             detected_languages=all_languages if all_languages else None,
         )
 
-    def _segment_languages(self, lid_mean: np.ndarray, lid_frames: np.ndarray,
+    def _segment_languages(self, lid_frames: np.ndarray,
                            hint_id: int) -> List[dict]:
         """Primary-first language list for a segment (code-switch aware).
 

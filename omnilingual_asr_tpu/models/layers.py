@@ -210,17 +210,18 @@ def convmod_apply(p, x, mask, dtype=jnp.bfloat16):
     a, b = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(b)                    # GLU
     h = jnp.where(mask[:, :, None], h, 0.0)      # zero padded frames
-    # Depthwise conv over time, SAME padding.
-    kernel = p["dw"].astype(dtype)               # [K, D]
+    # Depthwise conv over time, SAME padding. Kept in f32: it is
+    # bandwidth-bound (K multiply-adds per element, no MXU), and uniform
+    # dtypes keep the AD transpose rule happy.
+    kernel = p["dw"].astype(jnp.float32)         # [K, D]
     K = kernel.shape[0]
     pad_l = (K - 1) // 2
     pad_r = K - 1 - pad_l
     out = jax.lax.conv_general_dilated(
-        h.astype(dtype), kernel.reshape(K, 1, -1),
+        h.astype(jnp.float32), kernel.reshape(K, 1, -1),
         window_strides=(1,), padding=((pad_l, pad_r),),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=h.shape[-1],
-        preferred_element_type=jnp.float32,
     )
     out = layernorm_apply(p["dw_ln"], out)
     out = jax.nn.silu(out)

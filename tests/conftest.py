@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's PYTHONPATH site hook pre-imports jax before conftest
+# runs, so the env var alone is too late; the backend itself is still lazy,
+# so forcing the platform through jax.config works as long as no devices
+# have been touched yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
