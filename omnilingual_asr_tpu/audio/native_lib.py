@@ -27,11 +27,22 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SO_PATH = _NATIVE_DIR / "libomniaudio.so"
-_SOURCES = ["omniaudio.cpp", "wav.cpp", "mp3.cpp", "flac.cpp"]
+_SOURCES = ["omniaudio.cpp"]
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _libav_flags() -> list:
+    """Compile against system libavformat/libavcodec/libswresample when the
+    dev headers exist (in-process replacement for the reference's ffmpeg
+    subprocess, covering MP3/FLAC/OGG/M4A/AAC)."""
+    for inc in ("/usr/include", "/usr/include/x86_64-linux-gnu"):
+        if (Path(inc) / "libavcodec" / "avcodec.h").exists():
+            return ["-DOMNIAUDIO_WITH_LIBAV", f"-I{inc}",
+                    "-lavformat", "-lavcodec", "-lavutil", "-lswresample"]
+    return []
 
 
 def _build() -> bool:
@@ -41,16 +52,19 @@ def _build() -> bool:
     newest_src = max(s.stat().st_mtime for s in srcs)
     if _SO_PATH.exists() and _SO_PATH.stat().st_mtime >= newest_src:
         return True
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        "-o", str(_SO_PATH), *[str(s) for s in srcs],
-    ]
+
+    def run(extra):
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-o", str(_SO_PATH), *[str(s) for s in srcs], *extra]
+        return subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+
     try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        libav = _libav_flags()
+        proc = run(["-march=native", *libav])
         if proc.returncode != 0:
-            # Retry without -march=native for odd toolchains.
-            cmd.remove("-march=native")
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+            proc = run(libav)          # odd toolchains: no -march=native
+        if proc.returncode != 0 and libav:
+            proc = run([])             # no system codecs: WAV-only build
         return proc.returncode == 0 and _SO_PATH.exists()
     except (OSError, subprocess.SubprocessError):
         return False
@@ -72,13 +86,16 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(str(_SO_PATH))
         except OSError:
             return None
-        lib.omniaudio_decode.restype = ctypes.c_int32
-        lib.omniaudio_decode.argtypes = [
-            ctypes.c_char_p,
+        out_args = [
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.omniaudio_decode.restype = ctypes.c_int32
+        lib.omniaudio_decode.argtypes = [ctypes.c_char_p, *out_args]
+        lib.omniaudio_decode_rate.restype = ctypes.c_int32
+        lib.omniaudio_decode_rate.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, *out_args]
         lib.omniaudio_free.restype = None
         lib.omniaudio_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.omniaudio_duration.restype = ctypes.c_double
@@ -91,16 +108,20 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def native_decode(path: Path) -> Optional[Tuple[np.ndarray, int]]:
-    """Decode via the native library; None if unsupported/failed."""
+def native_decode(path: Path,
+                  target_sr: int = 0) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode via the native library; None if unsupported/failed.
+
+    target_sr > 0 also resamples in native code (libswresample)."""
     lib = _load()
     if lib is None:
         return None
     out = ctypes.POINTER(ctypes.c_float)()
     n = ctypes.c_int64(0)
     sr = ctypes.c_int32(0)
-    rc = lib.omniaudio_decode(str(path).encode(), ctypes.byref(out),
-                              ctypes.byref(n), ctypes.byref(sr))
+    rc = lib.omniaudio_decode_rate(str(path).encode(), int(target_sr),
+                                   ctypes.byref(out), ctypes.byref(n),
+                                   ctypes.byref(sr))
     if rc != 0 or n.value <= 0 or not out:
         return None
     try:

@@ -161,9 +161,17 @@ class TranscriptionEngine:
     # ------------------------------------------------------------------
 
     def _load_audio(self, audio_path: Path) -> np.ndarray:
+        target = self.config.frontend.sample_rate
+        # Fast path: native decode + resample in one in-process C++ call.
+        from .audio.native_lib import native_available, native_decode
+
+        if native_available():
+            out = native_decode(audio_path, target_sr=target)
+            if out is not None:
+                return out[0]
         samples, sr = decode_audio(audio_path)
-        if sr != self.config.frontend.sample_rate:
-            samples = resample(samples, sr, self.config.frontend.sample_rate)
+        if sr != target:
+            samples = resample(samples, sr, target)
         return samples
 
     def _windows(self, samples: np.ndarray) -> List[Tuple[float, np.ndarray]]:
