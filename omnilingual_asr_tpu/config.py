@@ -61,6 +61,8 @@ class EncoderConfig:
     subsample_factor: int = 4   # two stride-2 convs on the mel axis
     dropout: float = 0.1
     dtype: str = "bfloat16"     # compute dtype; params kept fp32
+    use_flash_attention: bool = False  # Pallas blockwise kernel; inference
+    #                                    only (no VJP) — engine turns it on
 
     @property
     def head_dim(self) -> int:

@@ -116,16 +116,32 @@ class TranscriptionEngine:
         window_frames = self.window_frames
         n_real_classes = 1 + cfg.vocab.n_bytes
 
-        def process(params, samples, n_valid_frames):
+        # Inference config: route attention through the Pallas flash kernel
+        # when the subsampled window length tiles its Q blocks.
+        import dataclasses as _dc
+
+        from .ops.attention import BLOCK_Q as _FLASH_BLOCK_Q
+
+        t_sub = window_frames // cfg.encoder.subsample_factor
+        use_flash = t_sub % _FLASH_BLOCK_Q == 0
+        infer_cfg = cfg.replace(encoder=_dc.replace(
+            cfg.encoder, use_flash_attention=use_flash))
+        flash_interpret = self._frontend.interpret
+
+        def process(params, samples_i16, n_valid_frames):
             """One fused XLA program: raw samples -> compact head outputs.
 
-            samples: [B, window_samples] f32; n_valid_frames: [B] i32.
+            samples_i16: [B, window_samples] int16 (audio ships to the
+            device at 2 bytes/sample — lossless for 16-bit sources and half
+            the H2D traffic, which profiling shows is the pipeline's
+            bottleneck); n_valid_frames: [B] i32.
             Keeping the whole per-batch pipeline in a single jit matters
             doubly on TPU: XLA fuses the frontend into the encoder schedule,
             and the host dispatches one call per batch instead of hundreds
             of eager ops (which would serialize on dispatch latency).
             """
-            B = samples.shape[0]
+            B = samples_i16.shape[0]
+            samples = samples_i16.astype(jnp.float32) * (1.0 / 32768.0)
 
             def frames_one(x):
                 return fe_dev.frames_from_signal(x)[0]  # [T_pad, n_fft]
@@ -139,7 +155,8 @@ class TranscriptionEngine:
             mel = mel.reshape(B, T_pad, -1)[:, :window_frames]  # [B, T, mels]
             frame_idx = jnp.arange(window_frames)[None, :]
             mask = frame_idx < n_valid_frames[:, None]  # [B, T]
-            out = asr_forward(params, mel, mask, cfg)
+            out = asr_forward(params, mel, mask, infer_cfg,
+                              flash_interpret=flash_interpret)
             ctc_ids = jnp.argmax(
                 out["ctc_logits"][..., :n_real_classes], axis=-1)
             lid_ids = jnp.argmax(out["lid_logits"], axis=-1)
@@ -211,6 +228,10 @@ class TranscriptionEngine:
                 n_s = self.window_samples
             valid.append(cfg.frontend.frames_for_samples(n_s))
 
+        # Phase 1: dispatch every batch without syncing — JAX's async
+        # dispatch overlaps H2D transfer and compute of batch k+1 with
+        # batch k (the tunnel/PCIe transfer is the bottleneck, not FLOPs).
+        pending = []
         for b0 in range(0, n_win, B):
             batch = windows[b0:b0 + B]
             sample_rows = [w for _, w in batch]
@@ -219,9 +240,15 @@ class TranscriptionEngine:
             while len(sample_rows) < B:  # pad batch to static size
                 sample_rows.append(np.zeros_like(sample_rows[0]))
                 n_valid.append(0)
-            samples_b = jnp.asarray(np.stack(sample_rows))
+            rows = np.stack(sample_rows)
+            rows_i16 = np.clip(rows * 32768.0, -32768, 32767).astype(np.int16)
+            samples_b = jnp.asarray(rows_i16)
             nvalid_b = jnp.asarray(np.asarray(n_valid, np.int32))
-            out = self._process(self.params, samples_b, nvalid_b)
+            pending.append(
+                (batch, self._process(self.params, samples_b, nvalid_b)))
+
+        # Phase 2: collect to host.
+        for batch, out in pending:
             ctc = np.asarray(out["ctc_ids"])
             lid = np.asarray(out["lid_ids"])
             emo = np.asarray(out["emotion_logits"], dtype=np.float32)

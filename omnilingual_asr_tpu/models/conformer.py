@@ -59,9 +59,12 @@ def conformer_block_spec():
     }
 
 
-def conformer_block_apply(p, x, mask, cos, sin, cfg: EncoderConfig, dtype):
+def conformer_block_apply(p, x, mask, cos, sin, cfg: EncoderConfig, dtype,
+                          flash_interpret: bool = False):
     x = L.ffn_apply(p["ffn1"], x, dtype)
-    x = L.mhsa_apply(p["mhsa"], x, cfg.n_heads, mask, cos, sin, dtype)
+    x = L.mhsa_apply(p["mhsa"], x, cfg.n_heads, mask, cos, sin, dtype,
+                     use_flash=cfg.use_flash_attention,
+                     flash_interpret=flash_interpret)
     x = L.convmod_apply(p["conv"], x, mask, dtype)
     x = L.ffn_apply(p["ffn2"], x, dtype)
     return L.layernorm_apply(p["ln_out"], x)
@@ -120,7 +123,7 @@ def subsampled_mask(mask: jnp.ndarray, sub: int) -> jnp.ndarray:
 
 
 def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
-                cfg: PipelineConfig):
+                cfg: PipelineConfig, flash_interpret: bool = False):
     """Full forward pass.
 
     Args:
@@ -144,7 +147,8 @@ def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
     cos, sin = L.rope_angles(Tp, enc.head_dim)
 
     for blk in params["blocks"]:
-        x = conformer_block_apply(blk, x, m, cos, sin, enc, dtype)
+        x = conformer_block_apply(blk, x, m, cos, sin, enc, dtype,
+                                  flash_interpret=flash_interpret)
 
     ctc = L.dense_apply(params["ctc_head"], x, dtype)
     lid = L.dense_apply(params["lid_head"], x, dtype)

@@ -125,8 +125,12 @@ def mhsa_spec():
     }
 
 
-def mhsa_apply(p, x, n_heads: int, mask, cos, sin, dtype=jnp.bfloat16):
-    """x: [B, T, D]; mask: [B, T] bool (True = valid)."""
+def mhsa_apply(p, x, n_heads: int, mask, cos, sin, dtype=jnp.bfloat16,
+               use_flash: bool = False, flash_interpret: bool = False):
+    """x: [B, T, D]; mask: [B, T] bool (True = valid).
+
+    use_flash routes through the Pallas blockwise kernel (inference path —
+    no VJP yet); the default XLA einsum path is used for training."""
     B, T, D = x.shape
     h = layernorm_apply(p["ln"], x)
     q = dense_apply(p["wq"], h, dtype).reshape(B, T, n_heads, D // n_heads)
@@ -134,6 +138,14 @@ def mhsa_apply(p, x, n_heads: int, mask, cos, sin, dtype=jnp.bfloat16):
     v = dense_apply(p["wv"], h, dtype).reshape(B, T, n_heads, D // n_heads)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if use_flash:
+        from ..ops.attention import flash_attention
+
+        out = flash_attention(q.astype(dtype), k.astype(dtype),
+                              v.astype(dtype), mask,
+                              interpret=flash_interpret)
+        out = out.astype(jnp.float32).reshape(B, T, D)
+        return x + dense_apply(p["wo"], out, dtype)
     scale = 1.0 / math.sqrt(D // n_heads)
     logits = jnp.einsum("bthd,bshd->bhts", q.astype(dtype), k.astype(dtype),
                         preferred_element_type=jnp.float32) * scale

@@ -1,0 +1,91 @@
+"""Translation decoder tests (architecture contract; model untrained)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnilingual_asr_tpu.config import tiny_config
+from omnilingual_asr_tpu.models.translation import (
+    decoder_forward,
+    greedy_translate,
+    tokens_to_text,
+    translator_init,
+    translator_specs,
+)
+
+
+def setup():
+    cfg = tiny_config()
+    params = translator_init(jax.random.PRNGKey(0), cfg, n_layers=2)
+    return cfg, params
+
+
+class TestDecoder:
+    def test_teacher_forced_shapes(self, rng):
+        cfg, params = setup()
+        B, Tt, Te, D = 2, 8, 16, cfg.encoder.d_model
+        tokens = jnp.asarray(rng.integers(0, 257, (B, Tt)), jnp.int32)
+        enc = jnp.asarray(rng.standard_normal((B, Te, D)), jnp.float32)
+        enc_mask = jnp.ones((B, Te), bool)
+        logits = decoder_forward(params, tokens, enc, enc_mask, cfg,
+                                 n_heads=2)
+        assert logits.shape == (B, Tt, cfg.vocab.vocab_size)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_causality(self, rng):
+        """Changing a later token must not affect earlier logits."""
+        cfg, params = setup()
+        B, Tt, Te, D = 1, 6, 8, cfg.encoder.d_model
+        enc = jnp.asarray(rng.standard_normal((B, Te, D)), jnp.float32)
+        enc_mask = jnp.ones((B, Te), bool)
+        t1 = jnp.asarray(rng.integers(1, 257, (B, Tt)), jnp.int32)
+        t2 = t1.at[0, -1].set((t1[0, -1] % 256) + 1)
+        l1 = decoder_forward(params, t1, enc, enc_mask, cfg, n_heads=2)
+        l2 = decoder_forward(params, t2, enc, enc_mask, cfg, n_heads=2)
+        np.testing.assert_allclose(np.asarray(l1[:, :-1]),
+                                   np.asarray(l2[:, :-1]), atol=1e-5)
+
+    def test_greedy_decode_runs(self, rng):
+        cfg, params = setup()
+        B, Te, D = 2, 16, cfg.encoder.d_model
+        enc = jnp.asarray(rng.standard_normal((B, Te, D)), jnp.float32)
+        enc_mask = jnp.ones((B, Te), bool)
+        toks = greedy_translate(params, enc, enc_mask, cfg, max_len=16,
+                                n_heads=2)
+        assert toks.shape == (2, 16)
+        assert int(toks.max()) <= 256  # byte ids + blank only
+
+    def test_greedy_matches_teacher_forcing(self, rng):
+        """Greedy with KV cache must equal argmax of teacher-forced logits
+        over its own prefix."""
+        cfg, params = setup()
+        B, Te, D = 1, 8, cfg.encoder.d_model
+        enc = jnp.asarray(rng.standard_normal((B, Te, D)), jnp.float32)
+        enc_mask = jnp.ones((B, Te), bool)
+        L = 6
+        toks = np.asarray(greedy_translate(params, enc, enc_mask, cfg,
+                                           max_len=L, n_heads=2))[0]
+        # replay: feed [BOS, toks[:-1]] teacher-forced, compare argmax
+        inp = jnp.asarray(np.concatenate([[0], toks[:-1]])[None, :],
+                          jnp.int32)
+        logits = decoder_forward(params, inp, enc, enc_mask, cfg, n_heads=2)
+        replay = np.asarray(
+            jnp.argmax(logits[0, :, : 1 + cfg.vocab.n_bytes], axis=-1))
+        # compare until first EOS in greedy output
+        for i in range(L):
+            assert replay[i] == toks[i], (i, replay, toks)
+            if toks[i] == 0:
+                break
+
+    def test_tokens_to_text(self):
+        cfg, _ = setup()
+        ids = [cfg.vocab.byte_to_id(b) for b in "hi".encode()] + [0, 99]
+        assert tokens_to_text(ids, cfg.vocab) == "hi"
+
+    def test_spec_tree_matches_params(self):
+        cfg, params = setup()
+        specs = translator_specs(n_layers=2)
+        pt = jax.tree.structure(params)
+        st = jax.tree.structure(
+            specs, is_leaf=lambda x: not isinstance(x, (dict, list)))
+        assert pt == st
