@@ -79,17 +79,33 @@ def batch_specs() -> Dict[str, P]:
 
 
 def make_train_step(cfg: PipelineConfig, mesh: Mesh,
-                    tx: Optional[optax.GradientTransformation] = None):
+                    tx: Optional[optax.GradientTransformation] = None,
+                    from_samples: bool = False):
     """Returns (init_state_fn, train_step_fn), both jitted over the mesh.
 
     GSPMD propagates param shardings into the optimizer state, so only
     params and batch are explicitly annotated.
+
+    from_samples=True: the batch carries raw ``samples`` [B, n] instead of
+    ``mel`` and the log-mel frontend runs inside the same jit (fused with
+    the step, matching the inference engine's fused pipeline).
     """
     tx = tx or make_optimizer()
     pspecs = asr_param_specs(cfg)
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                             is_leaf=lambda x: isinstance(x, P))
-    batch_sh = {k: NamedSharding(mesh, s) for k, s in batch_specs().items()}
+    bspecs = batch_specs()
+    if from_samples:
+        bspecs = dict(bspecs)
+        del bspecs["mel"]
+        bspecs["samples"] = P("data", None)
+    batch_sh = {k: NamedSharding(mesh, s) for k, s in bspecs.items()}
+
+    frontend = None
+    if from_samples:
+        from ..ops.mel_pallas import MelFrontend
+
+        frontend = MelFrontend(cfg.frontend)
 
     def init_state(seed: int = 0) -> TrainState:
         params = asr_init(jax.random.PRNGKey(seed), cfg)
@@ -98,9 +114,32 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))
 
+    def _with_mel(batch):
+        if not from_samples:
+            return batch
+        samples = batch["samples"]
+        T = batch["mask"].shape[1]
+
+        def frames_one(x):
+            return frontend.frames_from_signal(x)[0]
+
+        from ..ops.mel_pallas import log_mel_frames_pallas
+
+        frames = jax.vmap(frames_one)(samples)
+        B, T_pad, n_fft = frames.shape
+        mel = log_mel_frames_pallas(
+            frames.reshape(B * T_pad, n_fft), frontend.cw, frontend.sw,
+            frontend.fb, cfg.frontend, interpret=frontend.interpret)
+        mel = mel.reshape(B, T_pad, -1)[:, :T]
+        out = dict(batch)
+        out.pop("samples")
+        out["mel"] = mel
+        return out
+
     @partial(jax.jit, donate_argnums=(0, 1),
              in_shardings=(param_sh, None, batch_sh, None))
     def train_step(params, opt_state, batch, step):
+        batch = _with_mel(batch)
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, cfg)
         updates, opt_state = tx.update(grads, opt_state, params)
