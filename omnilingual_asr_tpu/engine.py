@@ -44,6 +44,7 @@ from .types import (
     TranscriptSegment,
     TranscriptionResult,
 )
+from .utils.tracing import StageTrace
 
 ProgressCallback = Optional[Callable[[str, int], None]]
 
@@ -77,6 +78,7 @@ class TranscriptionEngine:
     ) -> None:
         self.config = config or PipelineConfig.from_env()
         self.model = model
+        self.last_trace: Optional[StageTrace] = None
         self.mesh = mesh if mesh is not None else build_mesh(self.config.mesh)
         self._frontend = MelFrontend(self.config.frontend)
 
@@ -399,21 +401,28 @@ class TranscriptionEngine:
             if progress_callback:
                 progress_callback(step, idx)
 
+        trace = StageTrace(n_chips=self.mesh.devices.size)
         audio_path = Path(audio_path)
         _report("uploading", 0)       # step 0: host decode + resample
-        samples = self._load_audio(audio_path)
+        with trace.stage("decode"):
+            samples = self._load_audio(audio_path)
         sr = self.config.frontend.sample_rate
         duration_s = len(samples) / sr
+        trace.audio_seconds = duration_s
 
         _report("transcribing", 1)    # step 1: TPU forward
-        windows = self._windows(samples)
-        n_last = len(samples) - (len(windows) - 1) * self.window_samples if windows else 0
-        outs = self._forward_windows(windows, n_last)
+        with trace.stage("forward"):
+            windows = self._windows(samples)
+            n_last = len(samples) - (len(windows) - 1) * self.window_samples if windows else 0
+            outs = self._forward_windows(windows, n_last)
 
         _report("processing", 2)      # step 2: host assembly
-        result = self._assemble(outs, language=language,
-                                speaker_count=speaker_count,
-                                duration_s=duration_s)
+        with trace.stage("assemble"):
+            result = self._assemble(outs, language=language,
+                                    speaker_count=speaker_count,
+                                    duration_s=duration_s)
+        self.last_trace = trace
+        trace.log(file=audio_path.name)
         _report("done", 3)
         return result
 

@@ -371,6 +371,28 @@ class OmniServer:
             self.history.delete(req.path_params["history_id"], self._user(req))
             return JSONResponse({"ok": True})
 
+        @r.route("GET", "/api/history/{history_id}/export")
+        def export_history(req: Request) -> Response:
+            """Server-side export via the byte-compatible exporters — the
+            reference renders these client-side (public app.js:1336); having
+            them on the server too means programmatic clients get EAF/
+            TextGrid/SRT/TXT/JSON without a browser."""
+            from ..exporters import export_transcript
+
+            entry = self.history.get(req.path_params["history_id"],
+                                     self._user(req))
+            if entry is None:
+                raise HTTPError(404, "History entry not found.")
+            fmt = req.query.get("format", "json").lower()
+            try:
+                content = export_transcript(entry, fmt)
+            except ValueError as e:
+                raise HTTPError(400, str(e)) from None
+            ctypes_map = {"eaf": "application/xml",
+                          "json": "application/json"}
+            return Response(content.encode("utf-8"), 200,
+                            ctypes_map.get(fmt, "text/plain; charset=utf-8"))
+
         # ---- audio blobs ---------------------------------------------------
 
         @r.route("GET", "/api/audio/{history_id}")

@@ -105,6 +105,15 @@ class TestEngineContract:
             engine.transcribe_with_retry(speech_wav)
         assert len(attempts) == 3
 
+    def test_stage_trace_recorded(self, engine, speech_wav):
+        engine.transcribe(speech_wav)
+        tr = engine.last_trace
+        assert tr is not None
+        assert set(tr.stages) == {"decode", "forward", "assemble"}
+        assert tr.audio_seconds == pytest.approx(12.0, abs=0.1)
+        assert tr.rtf > 0
+        assert tr.to_dict()["audio_hours_per_min_per_chip"] > 0
+
     def test_multi_window_offsets_monotonic(self, engine, speech_wav):
         # 12 s file with 10 s windows -> 2 windows; segment times must be
         # globally increasing across the window boundary (offset merge,

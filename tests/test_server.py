@@ -315,3 +315,30 @@ class TestAuthPrimitives:
         assert payload["exp"] == 1000 + JWT_EXPIRY_SECONDS  # 30 days
         assert verify_jwt(tok, "wrong-secret", now=1001) is None
         assert verify_jwt(tok, "secret", now=payload["exp"] + 1) is None
+
+
+class TestExportRoute:
+    def test_export_formats(self, server):
+        body, ctype = multipart({}, [("file", "ex.wav", make_wav_bytes())])
+        _, entry = server.request("POST", "/api/transcribe", body, ctype)
+        hid = entry["id"]
+        status, eaf = server.request(
+            "GET", f"/api/history/{hid}/export?format=eaf", raw=True)
+        assert status == 200
+        assert eaf.startswith(b'<?xml version="1.0" encoding="UTF-8"?>')
+        status, srt = server.request(
+            "GET", f"/api/history/{hid}/export?format=srt", raw=True)
+        assert status == 200 and b"-->" in srt
+        status, tg = server.request(
+            "GET", f"/api/history/{hid}/export?format=textgrid", raw=True)
+        assert status == 200 and tg.startswith(b'File type = "ooTextFile"')
+        status, err = server.request(
+            "GET", f"/api/history/{hid}/export?format=nope")
+        assert status == 400
+
+    def test_spa_served(self, server):
+        status, html = server.request("GET", "/", raw=True)
+        assert status == 200
+        assert b"OmniScribe" in html
+        status, js = server.request("GET", "/static/app.js", raw=True)
+        assert status == 200 and b"uploadFiles" in js
