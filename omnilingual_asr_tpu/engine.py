@@ -75,6 +75,7 @@ class TranscriptionEngine:
         mesh=None,
         batch_windows_per_device: int = 4,
         window_seconds: float = WINDOW_SECONDS,
+        enable_translation: bool = False,
     ) -> None:
         self.config = config or PipelineConfig.from_env()
         self.model = model
@@ -83,6 +84,12 @@ class TranscriptionEngine:
         self._frontend = MelFrontend(self.config.frontend)
 
         cfg = self.config
+        self._translator = None
+        if enable_translation:
+            from .models.translation import translator_init
+
+            self._translator = translator_init(
+                jax.random.PRNGKey(cfg.seed + 1), cfg)
         if params is None:
             if cfg.checkpoint_path:
                 from .models.zoo import load_checkpoint
@@ -162,13 +169,18 @@ class TranscriptionEngine:
             ctc_ids = jnp.argmax(
                 out["ctc_logits"][..., :n_real_classes], axis=-1)
             lid_ids = jnp.argmax(out["lid_logits"], axis=-1)
-            return {
+            ret = {
                 "ctc_ids": ctc_ids.astype(jnp.int32),
                 "lid_ids": lid_ids.astype(jnp.int32),
                 "emotion_logits": out["emotion_logits"],
                 "speaker_embed": out["speaker_embed"],
                 "mask": out["mask"],
             }
+            if self._translator is not None:
+                # Encoder states feed the translation decoder; only pulled
+                # to host when translation is enabled (12+ MB per batch).
+                ret["encoder_states"] = out["encoder_states"]
+            return ret
 
         self._process = jax.jit(
             process,
@@ -256,6 +268,8 @@ class TranscriptionEngine:
             emo = np.asarray(out["emotion_logits"], dtype=np.float32)
             spk = np.asarray(out["speaker_embed"], dtype=np.float32)
             sub_mask = np.asarray(out["mask"])
+            enc = (np.asarray(out["encoder_states"], dtype=np.float32)
+                   if "encoder_states" in out else None)
             for k in range(len(batch)):
                 nf_sub = int(sub_mask[k].sum())
                 results.append({
@@ -264,6 +278,8 @@ class TranscriptionEngine:
                     "lid_ids": lid[k, :nf_sub],
                     "emotion_logits": emo[k, :nf_sub],
                     "speaker_embed": spk[k, :nf_sub],
+                    "encoder_states": (enc[k, :nf_sub]
+                                       if enc is not None else None),
                 })
         return results
 
@@ -289,8 +305,10 @@ class TranscriptionEngine:
                 emo_mean = w["emotion_logits"][f0:f1].mean(axis=0)
                 spk_mean = w["speaker_embed"][f0:f1].mean(axis=0)
                 lid_frames = w["lid_ids"][f0:f1]
+                enc_span = (w["encoder_states"][f0:f1]
+                            if w.get("encoder_states") is not None else None)
                 decoded.append(s)
-                seg_meta.append((emo_mean, spk_mean, lid_frames))
+                seg_meta.append((emo_mean, spk_mean, lid_frames, enc_span))
 
         if not decoded:
             return TranscriptionResult(summary=None, segments=[],
@@ -312,7 +330,7 @@ class TranscriptionEngine:
         seen_codes = set()
         emotion_counts = np.zeros(len(EMOTIONS))
 
-        for s, (emo_mean, _, lid_frames), lab in zip(
+        for s, (emo_mean, _, lid_frames, _), lab in zip(
                 decoded, seg_meta, labels):
             langs = self._segment_languages(lid_frames, lang_hint_id)
             primary = langs[0]
@@ -340,6 +358,9 @@ class TranscriptionEngine:
                 words=s.words,
             ))
 
+        if self._translator is not None:
+            self._translate_segments(segments, seg_meta)
+
         n_speakers = int(labels.max()) + 1 if len(labels) else 0
         top_emotion = EMOTIONS[int(np.argmax(emotion_counts))]
         lang_names = ", ".join(l["language"] for l in all_languages[:4])
@@ -357,6 +378,40 @@ class TranscriptionEngine:
             segments=segments,
             detected_languages=all_languages if all_languages else None,
         )
+
+    TRANSLATE_SPAN_FRAMES = 256   # ~10 s of encoder frames per segment
+    TRANSLATE_MAX_BYTES = 128
+
+    def _translate_segments(self, segments: List[TranscriptSegment],
+                            seg_meta) -> None:
+        """Fill ``translation`` for non-English segments via the decoder
+        head (prompt requirement #5: translation null iff English,
+        reference gemini_pipeline.py:176-179, 208)."""
+        from .models.translation import greedy_translate, tokens_to_text
+
+        todo = [i for i, s in enumerate(segments)
+                if s.language_code and s.language_code != "en"
+                and seg_meta[i][3] is not None]
+        if not todo:
+            return
+        Te, D = self.TRANSLATE_SPAN_FRAMES, self.config.encoder.d_model
+        B = 8
+        for b0 in range(0, len(todo), B):
+            idxs = todo[b0:b0 + B]
+            enc = np.zeros((B, Te, D), np.float32)
+            mask = np.zeros((B, Te), bool)
+            for row, i in enumerate(idxs):
+                span = seg_meta[i][3][:Te]
+                enc[row, :len(span)] = span
+                mask[row, :len(span)] = True
+            toks = np.asarray(greedy_translate(
+                self._translator, jnp.asarray(enc), jnp.asarray(mask),
+                self.config, max_len=self.TRANSLATE_MAX_BYTES,
+                n_heads=self.config.encoder.n_heads))
+            for row, i in enumerate(idxs):
+                text = tokens_to_text(toks[row], self.config.vocab).strip()
+                if text:
+                    segments[i].translation = text
 
     def _segment_languages(self, lid_frames: np.ndarray,
                            hint_id: int) -> List[dict]:

@@ -161,6 +161,7 @@ def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
         "lid_logits": lid,
         "emotion_logits": emo,
         "speaker_embed": spk,
+        "encoder_states": x,
         "mask": m,
     }
 
@@ -179,6 +180,7 @@ def activation_specs():
             "lid_logits": P("data", None, "model"),
             "emotion_logits": P("data", None, None),
             "speaker_embed": P("data", None, None),
+            "encoder_states": P("data", None, None),
             "mask": P("data", None),
         },
     }

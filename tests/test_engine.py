@@ -162,3 +162,25 @@ class TestPublicPipeline:
             w.writeframes(b"")
         res = engine.transcribe(p)
         assert res.segments == []
+
+
+class TestTranslationIntegration:
+    def test_translation_flag_populates_field(self, speech_wav):
+        """With enable_translation, non-English segments get a translation
+        attempt (untrained model: any byte string, possibly empty)."""
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        eng = TranscriptionEngine(config=tiny_config(),
+                                  batch_windows_per_device=1,
+                                  window_seconds=10.0,
+                                  enable_translation=True)
+        res = eng.transcribe(speech_wav)
+        for seg in res.segments:
+            if seg.language_code == "en":
+                assert seg.translation is None
+            else:
+                assert seg.translation is None or isinstance(seg.translation, str)
+
+    def test_translation_off_by_default(self, engine, speech_wav):
+        res = engine.transcribe(speech_wav)
+        assert all(s.translation is None for s in res.segments)
