@@ -24,19 +24,23 @@ def frame_energy_db(mel: np.ndarray) -> np.ndarray:
 
 def vad_mask(mel: np.ndarray, *, margin_db: float = 12.0,
              floor_percentile: float = 10.0,
+             abs_speech_db: float = 0.0,
              min_speech_frames: int = 5,
              min_gap_frames: int = 3) -> np.ndarray:
     """Boolean speech mask [T] from log-mel.
 
     A frame is speech when its energy exceeds the noise floor (the
-    ``floor_percentile`` of frame energies) by ``margin_db``. Short speech
-    islands are dropped and short gaps bridged (morphological smoothing).
+    ``floor_percentile`` of frame energies) by ``margin_db``, OR exceeds an
+    absolute level (``abs_speech_db``, ~-27 dBFS for a sine) — the absolute
+    criterion keeps continuously-voiced audio (no silence anywhere, so the
+    relative floor equals speech level) from reading as all-silence. Short
+    speech islands are dropped and short gaps bridged.
     """
     if len(mel) == 0:
         return np.zeros((0,), dtype=bool)
     e = frame_energy_db(mel)
     floor = np.percentile(e, floor_percentile)
-    speech = e > floor + margin_db
+    speech = (e > floor + margin_db) | (e > abs_speech_db)
 
     # Bridge short gaps.
     out = speech.copy()
