@@ -1,0 +1,58 @@
+"""Int8 quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnilingual_asr_tpu.ops.quant import (
+    dequantize_weight,
+    quantization_error,
+    quantize_param_tree,
+    quantize_weight,
+    quantized_matmul,
+)
+
+
+class TestQuantize:
+    def test_roundtrip_error_small(self, rng):
+        w = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32) * 0.05
+        err = quantization_error(w)
+        assert err < 0.01, err
+
+    def test_per_channel_scales(self, rng):
+        w = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+        w = w.at[:, 0].multiply(100.0)  # one hot channel
+        w_q, scale = quantize_weight(w)
+        assert w_q.dtype == jnp.int8
+        back = dequantize_weight(w_q, scale)
+        # the hot channel must not wreck the others' precision
+        rel = np.abs(np.asarray(back[:, 1:] - w[:, 1:])).max() / np.abs(
+            np.asarray(w[:, 1:])).max()
+        assert rel < 0.02
+
+    def test_quantized_matmul_matches_dequant(self, rng):
+        M, K, N = 256, 128, 512
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32) * 0.1
+        w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32) * 0.05
+        w_q, scale = quantize_weight(w)
+        got = np.asarray(quantized_matmul(x, w_q, scale, interpret=True))
+        want = np.asarray(x.astype(jnp.bfloat16) @ dequantize_weight(
+            w_q, scale).astype(jnp.bfloat16), dtype=np.float32)
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=5e-2)
+
+    def test_quantize_param_tree(self):
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.models.conformer import asr_init
+
+        cfg = tiny_config()
+        params = asr_init(jax.random.PRNGKey(0), cfg)
+        q = quantize_param_tree(params)
+        blk = q["blocks"][0]["ffn1"]["w1"]
+        assert "w_q" in blk and blk["w_q"].dtype == jnp.int8
+        assert "w_scale" in blk
+        assert "w" not in blk
+        # depthwise conv kernel [K, D] is 2-D but lives under key "dw",
+        # not {"w": ...}; it stays fp32
+        assert q["blocks"][0]["conv"]["dw"].dtype == jnp.float32
+        # layernorms untouched
+        assert q["in_ln"]["scale"].dtype == jnp.float32
