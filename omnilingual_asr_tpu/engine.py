@@ -137,7 +137,7 @@ class TranscriptionEngine:
             cfg.encoder, use_flash_attention=use_flash))
         flash_interpret = self._frontend.interpret
 
-        def process(params, samples_i16, n_valid_frames):
+        def process(params, samples_i16, n_valid_frames, ctc_mask):
             """One fused XLA program: raw samples -> compact head outputs.
 
             samples_i16: [B, window_samples] int16 (audio ships to the
@@ -166,8 +166,10 @@ class TranscriptionEngine:
             mask = frame_idx < n_valid_frames[:, None]  # [B, T]
             out = asr_forward(params, mel, mask, infer_cfg,
                               flash_interpret=flash_interpret)
-            ctc_ids = jnp.argmax(
-                out["ctc_logits"][..., :n_real_classes], axis=-1)
+            # ctc_mask: additive [vocab] mask (orthography constraint,
+            # models/orthography.py); all-zeros when unrestricted.
+            masked = out["ctc_logits"] + ctc_mask[None, None, :]
+            ctc_ids = jnp.argmax(masked[..., :n_real_classes], axis=-1)
             lid_ids = jnp.argmax(out["lid_logits"], axis=-1)
             ret = {
                 "ctc_ids": ctc_ids.astype(jnp.int32),
@@ -184,7 +186,8 @@ class TranscriptionEngine:
 
         self._process = jax.jit(
             process,
-            in_shardings=(param_shardings, samples_sharding, nvalid_sharding),
+            in_shardings=(param_shardings, samples_sharding, nvalid_sharding,
+                          None),
         )
 
     # ------------------------------------------------------------------
@@ -220,7 +223,8 @@ class TranscriptionEngine:
         return out
 
     def _forward_windows(self, windows: Sequence[Tuple[float, np.ndarray]],
-                         n_samples_last: int):
+                         n_samples_last: int,
+                         orthography: Optional[str] = None):
         """Run all windows through mel + encoder in fixed-size batches.
 
         Returns a list of per-window host dicts with numpy outputs trimmed
@@ -242,6 +246,10 @@ class TranscriptionEngine:
                 n_s = self.window_samples
             valid.append(cfg.frontend.frames_for_samples(n_s))
 
+        from .models.orthography import ctc_logit_mask
+
+        ctc_mask = jnp.asarray(ctc_logit_mask(orthography, cfg.vocab))
+
         # Phase 1: dispatch every batch without syncing — JAX's async
         # dispatch overlaps H2D transfer and compute of batch k+1 with
         # batch k (the tunnel/PCIe transfer is the bottleneck, not FLOPs).
@@ -259,7 +267,8 @@ class TranscriptionEngine:
             samples_b = jnp.asarray(rows_i16)
             nvalid_b = jnp.asarray(np.asarray(n_valid, np.int32))
             pending.append(
-                (batch, self._process(self.params, samples_b, nvalid_b)))
+                (batch, self._process(self.params, samples_b, nvalid_b,
+                                      ctc_mask)))
 
         # Phase 2: collect to host.
         for batch, out in pending:
@@ -447,11 +456,15 @@ class TranscriptionEngine:
         progress_callback: ProgressCallback = None,
         language: Optional[str] = None,
         speaker_count: Optional[str] = None,
+        orthography: Optional[str] = None,
     ) -> TranscriptionResult:
         """Transcribe an audio file on-device.
 
         Same signature, progress steps and result semantics as the reference
-        `GeminiASRPipeline.transcribe` (gemini_pipeline.py:474-539)."""
+        `GeminiASRPipeline.transcribe` (gemini_pipeline.py:474-539), plus the
+        serverless variant's ``orthography`` hint (reference
+        _gemini.js:86-114) implemented as a hard script constraint on the
+        CTC decode (models/orthography.py)."""
         def _report(step: str, idx: int) -> None:
             if progress_callback:
                 progress_callback(step, idx)
@@ -469,7 +482,8 @@ class TranscriptionEngine:
         with trace.stage("forward"):
             windows = self._windows(samples)
             n_last = len(samples) - (len(windows) - 1) * self.window_samples if windows else 0
-            outs = self._forward_windows(windows, n_last)
+            outs = self._forward_windows(windows, n_last,
+                                         orthography=orthography)
 
         _report("processing", 2)      # step 2: host assembly
         with trace.stage("assemble"):
@@ -488,6 +502,7 @@ class TranscriptionEngine:
         progress_callback: ProgressCallback = None,
         language: Optional[str] = None,
         speaker_count: Optional[str] = None,
+        orthography: Optional[str] = None,
     ) -> TranscriptionResult:
         """Long-audio path (reference gemini_pipeline.py:577-682).
 
@@ -501,6 +516,7 @@ class TranscriptionEngine:
             progress_callback=progress_callback,
             language=language,
             speaker_count=speaker_count,
+            orthography=orthography,
         )
 
     def transcribe_with_retry(
@@ -511,6 +527,7 @@ class TranscriptionEngine:
         progress_callback: ProgressCallback = None,
         language: Optional[str] = None,
         speaker_count: Optional[str] = None,
+        orthography: Optional[str] = None,
     ) -> TranscriptionResult:
         """Retry wrapper: 3 attempts, 2**attempt backoff, chunked dispatch for
         files > 6 min — exact semantics of reference gemini_pipeline.py:684-741."""
@@ -527,6 +544,7 @@ class TranscriptionEngine:
                     progress_callback=progress_callback,
                     language=language,
                     speaker_count=speaker_count,
+                    orthography=orthography,
                 )
             except Exception as e:  # noqa: BLE001 — parity with reference
                 last_error = e

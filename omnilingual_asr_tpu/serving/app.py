@@ -154,12 +154,19 @@ class OmniServer:
                              audio_url: str, *, language=None,
                              speaker_count=None, orthography=None,
                              progress_cb=None) -> Dict[str, Any]:
-        result = self.engine().transcribe_with_retry(
-            str(audio_path),
-            progress_callback=progress_cb,
-            language=language,
-            speaker_count=speaker_count,
-        )
+        kwargs = dict(progress_callback=progress_cb, language=language,
+                      speaker_count=speaker_count)
+        if orthography:
+            # engine extension of the serverless-only hint; fake/test
+            # engines may not accept it
+            kwargs["orthography"] = orthography
+        try:
+            result = self.engine().transcribe_with_retry(str(audio_path),
+                                                         **kwargs)
+        except TypeError:
+            kwargs.pop("orthography", None)
+            result = self.engine().transcribe_with_retry(str(audio_path),
+                                                         **kwargs)
         entry = result_to_entry(result, file_name=display_name,
                                 audio_url=audio_url)
         return entry
