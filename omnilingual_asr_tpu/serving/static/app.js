@@ -6,6 +6,72 @@
 
 const $ = (sel) => document.querySelector(sel);
 
+// ------------------------------------------------------------------ auth
+// JWT shell: token kept in localStorage and injected as a Bearer header on
+// every /api fetch; a 401 pops the login/register overlay. Servers running
+// without --auth never return 401, so the overlay stays hidden.
+
+const TOKEN_KEY = "omniasr_token";
+const _fetch = window.fetch.bind(window);
+window.fetch = (url, opts = {}) => {
+  const token = localStorage.getItem(TOKEN_KEY);
+  if (token && String(url).startsWith("/api")) {
+    opts.headers = { ...(opts.headers || {}),
+                     Authorization: `Bearer ${token}` };
+  }
+  return _fetch(url, opts).then((resp) => {
+    if (resp.status === 401 && String(url).startsWith("/api") &&
+        !String(url).includes("/api/auth/")) {
+      showAuth();
+    }
+    return resp;
+  });
+};
+
+let registerMode = false;
+
+function showAuth() {
+  $("#auth-overlay").hidden = false;
+}
+
+function setAuthMode(reg) {
+  registerMode = reg;
+  $("#auth-title").textContent = reg ? "Create account" : "Sign in";
+  $("#auth-submit").textContent = reg ? "Register" : "Sign in";
+  $("#auth-code").hidden = !reg;
+  $("#auth-toggle").textContent = reg
+    ? "Have an account? Sign in" : "Need an account? Register";
+}
+
+document.addEventListener("DOMContentLoaded", () => {
+  $("#auth-toggle").onclick = (e) => {
+    e.preventDefault();
+    setAuthMode(!registerMode);
+  };
+  $("#auth-form").onsubmit = async (e) => {
+    e.preventDefault();
+    const body = {
+      email: $("#auth-email").value.trim(),
+      password: $("#auth-password").value,
+    };
+    if (registerMode) body.access_code = $("#auth-code").value.trim();
+    const url = registerMode ? "/api/auth/register" : "/api/auth/login";
+    const resp = await _fetch(url, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(body),
+    });
+    const out = await resp.json();
+    if (resp.ok && out.token) {
+      localStorage.setItem(TOKEN_KEY, out.token);
+      $("#auth-overlay").hidden = true;
+      refreshHistory();
+    } else {
+      $("#auth-error").textContent = out.error || "Failed.";
+    }
+  };
+});
+
 // Okabe-Ito colorblind-safe palette for speaker/language coloring.
 const PALETTE = ["#0072B2", "#E69F00", "#009E73", "#CC79A7",
                  "#56B4E9", "#D55E00", "#F0E442", "#999999"];
