@@ -73,12 +73,10 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # Mark replicated constants as device-varying over the ring axis so
         # the scan carry type matches the ppermute outputs (jax vma tracking
         # in shard_map); the shard inputs kl/vl/mb0 are already varying.
-        def vary(x):
-            if axis in getattr(jax.typeof(x), "vma", ()):
-                return x
-            return jax.lax.pvary(x, axis)
+        from ..parallel.mesh import to_varying
 
-        carry0 = jax.tree.map(vary, (acc0, m0, l0, kl, vl, mb0))
+        carry0 = jax.tree.map(lambda x: to_varying(x, axis),
+                              (acc0, m0, l0, kl, vl, mb0))
         (acc, m, l, _, _, _), _ = jax.lax.scan(step, carry0, None, length=n)
         out = acc / jnp.maximum(l, 1e-30)          # [B, H, Tl, D]
         return out.transpose(0, 2, 1, 3)            # [B, Tl, H, D]

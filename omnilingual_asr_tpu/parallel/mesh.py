@@ -44,3 +44,13 @@ def shard_params(params, specs, mesh: Mesh):
 
 def named(mesh: Mesh, spec: PartitionSpec) -> NamedSharding:
     return NamedSharding(mesh, spec)
+
+
+def to_varying(x, axis: str):
+    """Mark a replicated value as device-varying over ``axis`` inside
+    shard_map (vma typing); no-op when already varying."""
+    if axis in getattr(jax.typeof(x), "vma", ()):
+        return x
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis, to="varying")
+    return jax.lax.pvary(x, axis)
