@@ -191,6 +191,42 @@ class TranscriptionEngine:
         )
 
     # ------------------------------------------------------------------
+    # Health / fault handling (SURVEY §5 failure-detection row)
+    # ------------------------------------------------------------------
+
+    def health_check(self) -> dict:
+        """Run a trivial program on every mesh device; returns a report.
+
+        The reference's only failure handling is retry-with-backoff around
+        the network call (gemini_pipeline.py:717-737); a local engine can
+        actively probe its chips."""
+        report = {"devices": [], "ok": True}
+        for d in self.mesh.devices.flatten():
+            try:
+                x = jax.device_put(jnp.ones((8, 8)), d)
+                val = float(jnp.sum(x * 2.0).block_until_ready())
+                ok = abs(val - 128.0) < 1e-3
+            except Exception as e:  # noqa: BLE001
+                ok = False
+                report["error"] = str(e)
+            report["devices"].append({"id": str(d), "ok": ok})
+            report["ok"] &= ok
+        return report
+
+    def _dispatch_batch(self, samples_b, nvalid_b, ctc_mask,
+                        max_attempts: int = 2):
+        """Dispatch one batch with re-dispatch on device error (transient
+        XLA/runtime failures re-run once before surfacing)."""
+        last = None
+        for _ in range(max_attempts):
+            try:
+                return self._process(self.params, samples_b, nvalid_b,
+                                     ctc_mask)
+            except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                last = e
+        raise last
+
+    # ------------------------------------------------------------------
     # Feature + forward plumbing
     # ------------------------------------------------------------------
 
@@ -267,8 +303,7 @@ class TranscriptionEngine:
             samples_b = jnp.asarray(rows_i16)
             nvalid_b = jnp.asarray(np.asarray(n_valid, np.int32))
             pending.append(
-                (batch, self._process(self.params, samples_b, nvalid_b,
-                                      ctc_mask)))
+                (batch, self._dispatch_batch(samples_b, nvalid_b, ctc_mask)))
 
         # Phase 2: collect to host.
         for batch, out in pending:

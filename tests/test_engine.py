@@ -184,3 +184,34 @@ class TestTranslationIntegration:
     def test_translation_off_by_default(self, engine, speech_wav):
         res = engine.transcribe(speech_wav)
         assert all(s.translation is None for s in res.segments)
+
+
+class TestFaultHandling:
+    def test_health_check(self, engine):
+        report = engine.health_check()
+        assert report["ok"]
+        assert len(report["devices"]) == engine.mesh.devices.size
+        assert all(d["ok"] for d in report["devices"])
+
+    def test_dispatch_redispatches_on_transient_error(self, engine,
+                                                      monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        calls = []
+        orig = engine._process
+
+        def flaky(*a, **k):
+            calls.append(1)
+            if len(calls) == 1:
+                raise jax.errors.JaxRuntimeError("injected device loss")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(engine, "_process", flaky)
+        sb = jnp.zeros((engine.batch_size, engine.window_samples), jnp.int16)
+        nb = jnp.zeros((engine.batch_size,), jnp.int32)
+        mask = jnp.zeros((engine.config.vocab.vocab_size,), jnp.float32)
+        out = engine._dispatch_batch(sb, nb, mask)
+        assert len(calls) == 2
+        assert "ctc_ids" in out
