@@ -76,6 +76,7 @@ class TranscriptionEngine:
         batch_windows_per_device: int = 4,
         window_seconds: float = WINDOW_SECONDS,
         enable_translation: bool = False,
+        quantize: bool = False,
     ) -> None:
         self.config = config or PipelineConfig.from_env()
         self.model = model
@@ -98,6 +99,13 @@ class TranscriptionEngine:
             else:
                 params = asr_init(jax.random.PRNGKey(cfg.seed), cfg)
         specs = asr_param_specs(cfg)
+        if quantize:
+            # W8A16 serving: int8 dense weights (half the HBM footprint and
+            # weight bandwidth; ops/quant.py).
+            from .ops.quant import quantize_param_tree, quantize_spec_tree
+
+            params = quantize_param_tree(params)
+            specs = quantize_spec_tree(specs)
         self.params = shard_params(params, specs, self.mesh)
 
         # Window geometry.

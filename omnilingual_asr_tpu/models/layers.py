@@ -42,8 +42,13 @@ def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True):
 
 
 def dense_apply(p, x, dtype=jnp.bfloat16):
-    y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
-                preferred_element_type=jnp.float32)
+    if "w_q" in p:
+        # W8A16 serving path (ops/quant.py): int8 weights live in HBM and
+        # dequantize on the way into the MXU.
+        w = p["w_q"].astype(dtype) * p["w_scale"].astype(dtype)[None, :]
+    else:
+        w = p["w"].astype(dtype)
+    y = jnp.dot(x.astype(dtype), w, preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y

@@ -107,6 +107,27 @@ def quantize_param_tree(params) -> Dict:
     return visit(params)
 
 
+def quantize_spec_tree(specs):
+    """Transform a PartitionSpec tree to match quantize_param_tree's output:
+    {"w": P(a, b)} -> {"w_q": P(a, b), "w_scale": P(b)}."""
+    from jax.sharding import PartitionSpec as P
+
+    def visit(node):
+        if isinstance(node, dict):
+            if "w" in node and isinstance(node["w"], P):
+                out = {k: v for k, v in node.items() if k != "w"}
+                wspec = node["w"]
+                out["w_q"] = wspec
+                out["w_scale"] = P(wspec[1] if len(wspec) > 1 else None)
+                return out
+            return {k: visit(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        return node
+
+    return visit(specs)
+
+
 def quantization_error(w: jnp.ndarray) -> float:
     """Relative L2 error of the int8 roundtrip (for reporting)."""
     w_q, s = quantize_weight(w)

@@ -56,3 +56,29 @@ class TestQuantize:
         assert q["blocks"][0]["conv"]["dw"].dtype == jnp.float32
         # layernorms untouched
         assert q["in_ln"]["scale"].dtype == jnp.float32
+
+
+class TestQuantizedEngine:
+    def test_quantized_engine_transcribes(self, tmp_path, rng):
+        import wave
+
+        import jax
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        p = tmp_path / "q.wav"
+        x = (np.sin(np.arange(16000) * 0.08) * 15000).astype("<i2")
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        eng = TranscriptionEngine(config=tiny_config(), quantize=True,
+                                  batch_windows_per_device=1,
+                                  window_seconds=5.0)
+        # int8 weights actually present on device
+        blk = eng.params["blocks"][0]["ffn1"]["w1"]
+        assert blk["w_q"].dtype == jnp.int8
+        res = eng.transcribe(p)
+        assert res is not None  # full pipeline runs with quantized params
