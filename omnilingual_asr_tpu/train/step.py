@@ -80,7 +80,8 @@ def batch_specs() -> Dict[str, P]:
 
 def make_train_step(cfg: PipelineConfig, mesh: Mesh,
                     tx: Optional[optax.GradientTransformation] = None,
-                    from_samples: bool = False):
+                    from_samples: bool = False,
+                    augment: Optional["SpecAugmentConfig"] = None):
     """Returns (init_state_fn, train_step_fn), both jitted over the mesh.
 
     GSPMD propagates param shardings into the optimizer state, so only
@@ -140,6 +141,13 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
              in_shardings=(param_sh, None, batch_sh, None))
     def train_step(params, opt_state, batch, step):
         batch = _with_mel(batch)
+        if augment is not None:
+            from .augment import spec_augment
+
+            key = jax.random.fold_in(jax.random.PRNGKey(0), step)
+            batch = dict(batch)
+            batch["mel"] = spec_augment(key, batch["mel"], batch["mask"],
+                                        augment)
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, cfg)
         updates, opt_state = tx.update(grads, opt_state, params)

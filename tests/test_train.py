@@ -107,3 +107,51 @@ class TestCheckpoint:
         w = jax.tree.leaves(eng.params)[0]
         np.testing.assert_array_equal(np.asarray(w),
                                       np.asarray(jax.tree.leaves(params)[0]))
+
+
+class TestSpecAugment:
+    def test_masks_applied_within_bounds(self, rng):
+        from omnilingual_asr_tpu.train.augment import (
+            SpecAugmentConfig,
+            spec_augment,
+        )
+
+        B, T, F = 2, 200, 128
+        mel = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+        mask = jnp.asarray(np.arange(T)[None, :] < np.array([[150], [200]])[:, 0:1])
+        mask = jnp.asarray(np.tile(np.arange(T)[None, :], (B, 1)) <
+                           np.array([[150], [200]]))
+        key = jax.random.PRNGKey(0)
+        out = spec_augment(key, mel, mask)
+        assert out.shape == mel.shape
+        changed = np.asarray(out != mel)
+        assert changed.any()            # something was masked
+        assert not changed.all()        # not everything
+
+    def test_deterministic_per_key(self, rng):
+        from omnilingual_asr_tpu.train.augment import spec_augment
+
+        mel = jnp.asarray(rng.standard_normal((1, 100, 128)), jnp.float32)
+        mask = jnp.ones((1, 100), bool)
+        a = spec_augment(jax.random.PRNGKey(1), mel, mask)
+        b = spec_augment(jax.random.PRNGKey(1), mel, mask)
+        c = spec_augment(jax.random.PRNGKey(2), mel, mask)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert (np.asarray(a) != np.asarray(c)).any()
+
+    def test_train_step_with_augment(self, manifest):
+        from omnilingual_asr_tpu.train.augment import SpecAugmentConfig
+        from omnilingual_asr_tpu.train.data import BatchLoader
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=1))
+        mesh = build_mesh(cfg.mesh, devices=jax.devices()[:1])
+        init_state, train_step = make_train_step(
+            cfg, mesh, from_samples=True, augment=SpecAugmentConfig())
+        state = init_state(seed=0)
+        loader = BatchLoader(manifest, cfg, batch_size=2,
+                             window_seconds=1.0, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+        loader.close()
+        params, opt_state, step, metrics = train_step(
+            state.params, state.opt_state, batch, state.step)
+        assert np.isfinite(float(metrics["loss"]))
