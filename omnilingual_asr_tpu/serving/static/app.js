@@ -228,6 +228,14 @@ function addBadge(parent, text, cls) {
   parent.appendChild(b);
 }
 
+function highlightKey(seg) {
+  const mode = $("#highlight-mode").value;
+  if (mode === "speaker") return seg.speaker;
+  if (mode === "language") return seg.language_code || seg.language || "?";
+  if (mode === "emotion") return seg.emotion || "neutral";
+  return null;
+}
+
 function renderTranscript() {
   const root = $("#transcript");
   root.innerHTML = "";
@@ -236,7 +244,13 @@ function renderTranscript() {
   (activeData.segments || []).forEach((seg, si) => {
     const div = document.createElement("div");
     div.className = "segment";
-    div.style.borderLeftColor = colorFor(seg.speaker, spkColors);
+    const key = highlightKey(seg);
+    div.style.borderLeftColor =
+      key === null ? "#3a4048" : colorFor(key, spkColors);
+    div.oncontextmenu = (e) => {
+      e.preventDefault();
+      openCtxMenu(e, si);
+    };
 
     const head = document.createElement("div");
     head.className = "seg-head";
@@ -247,6 +261,9 @@ function renderTranscript() {
       (seg.emotion && seg.emotion !== "neutral"
         ? `<span class="tag emo">${seg.emotion}</span>` : "");
     head.querySelector(".time").onclick = () => seek(seg.start);
+    // click speaker name -> rename across all segments (reference
+    // renameSpeaker workflow)
+    head.querySelector(".speaker").onclick = () => renameSpeaker(seg.speaker);
     div.appendChild(head);
 
     const body = document.createElement("div");
@@ -304,6 +321,61 @@ function editSegment(si, body) {
   };
 }
 
+async function saveSegments() {
+  await fetch(`/api/history/${activeId}`, {
+    method: "PUT",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ segments: activeData.segments }),
+  });
+}
+
+async function renameSpeaker(oldName) {
+  const name = prompt(`Rename "${oldName}" to:`, oldName);
+  if (!name || name === oldName) return;
+  for (const seg of activeData.segments) {
+    if (seg.speaker === oldName) seg.speaker = name;
+  }
+  await saveSegments();
+  render();
+}
+
+// context menu: emotion / rename / delete (reference ctx-menu workflow)
+let ctxSegIndex = null;
+
+function openCtxMenu(e, si) {
+  ctxSegIndex = si;
+  const menu = $("#ctx-menu");
+  menu.hidden = false;
+  menu.style.left = `${e.pageX}px`;
+  menu.style.top = `${e.pageY}px`;
+}
+
+document.addEventListener("click", () => { $("#ctx-menu").hidden = true; });
+document.querySelectorAll("#ctx-menu button").forEach((btn) => {
+  btn.onclick = async () => {
+    $("#ctx-menu").hidden = true;
+    if (ctxSegIndex === null) return;
+    const seg = activeData.segments[ctxSegIndex];
+    const act = btn.dataset.act;
+    if (act === "rename") {
+      await renameSpeaker(seg.speaker);
+      return;
+    }
+    if (act === "emotion") {
+      const emo = prompt("Emotion (happy/sad/angry/neutral):",
+                         seg.emotion || "neutral");
+      if (!emo || !["happy", "sad", "angry", "neutral"].includes(emo)) return;
+      seg.emotion = emo;
+    } else if (act === "delete") {
+      activeData.segments.splice(ctxSegIndex, 1);
+    }
+    await saveSegments();
+    render();
+  };
+});
+
+$("#highlight-mode").onchange = () => renderTranscript();
+
 // ---------------------------------------------------------------- playback
 
 function seek(t) {
@@ -352,6 +424,102 @@ async function drawWaveform() {
     };
     actx.close();
   } catch { /* audio unavailable: skip waveform */ }
+}
+
+// ------------------------------------------------------------- spectrogram
+// Client-side log spectrogram for visual inspection (the production mel
+// frontend runs on-device via the Pallas kernel; this is display-only).
+
+let showSpectrogram = false;
+
+$("#viz-toggle").onclick = () => {
+  showSpectrogram = !showSpectrogram;
+  $("#viz-toggle").textContent = showSpectrogram ? "Waveform" : "Spectrogram";
+  $("#waveform").hidden = showSpectrogram;
+  $("#spectrogram").hidden = !showSpectrogram;
+  if (showSpectrogram) drawSpectrogram();
+};
+
+function fftRadix2(re, im) {
+  // iterative in-place Cooley-Tukey
+  const n = re.length;
+  for (let i = 1, j = 0; i < n; i++) {
+    let bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      [re[i], re[j]] = [re[j], re[i]];
+      [im[i], im[j]] = [im[j], im[i]];
+    }
+  }
+  for (let len = 2; len <= n; len <<= 1) {
+    const ang = -2 * Math.PI / len;
+    const wr = Math.cos(ang), wi = Math.sin(ang);
+    for (let i = 0; i < n; i += len) {
+      let cr = 1, ci = 0;
+      for (let k = 0; k < len / 2; k++) {
+        const ur = re[i + k], ui = im[i + k];
+        const vr = re[i + k + len / 2] * cr - im[i + k + len / 2] * ci;
+        const vi = re[i + k + len / 2] * ci + im[i + k + len / 2] * cr;
+        re[i + k] = ur + vr; im[i + k] = ui + vi;
+        re[i + k + len / 2] = ur - vr; im[i + k + len / 2] = ui - vi;
+        const ncr = cr * wr - ci * wi;
+        ci = cr * wi + ci * wr; cr = ncr;
+      }
+    }
+  }
+}
+
+function heatColor(v) {
+  // 0..1 -> dark blue -> cyan -> yellow
+  const r = Math.min(255, Math.max(0, Math.round(510 * (v - 0.5))));
+  const g = Math.min(255, Math.max(0, Math.round(v < 0.5 ? 510 * v : 255)));
+  const b = Math.min(255, Math.max(0, Math.round(v < 0.5 ? 100 + 310 * v : 255 * (1.5 - v))));
+  return [r, g, b];
+}
+
+async function drawSpectrogram() {
+  const canvas = $("#spectrogram");
+  const ctx = canvas.getContext("2d");
+  canvas.width = canvas.clientWidth * devicePixelRatio;
+  if (!activeData.audio_url) return;
+  try {
+    const buf = await (await fetch(activeData.audio_url)).arrayBuffer();
+    const actx = new (window.AudioContext || window.webkitAudioContext)();
+    const decoded = await actx.decodeAudioData(buf);
+    const data = decoded.getChannelData(0);
+    actx.close();
+    const W = canvas.width, H = canvas.height;
+    const NFFT = 512;
+    const hop = Math.max(NFFT / 2, Math.floor(data.length / W));
+    const win = new Float32Array(NFFT);
+    for (let i = 0; i < NFFT; i++) {
+      win[i] = 0.5 - 0.5 * Math.cos(2 * Math.PI * i / NFFT);
+    }
+    const img = ctx.createImageData(W, H);
+    const cols = Math.min(W, Math.floor((data.length - NFFT) / hop));
+    const DYN = 70; // dB dynamic range
+    for (let x = 0; x < cols; x++) {
+      const re = new Float32Array(NFFT), im = new Float32Array(NFFT);
+      const off = x * hop;
+      for (let i = 0; i < NFFT; i++) re[i] = (data[off + i] || 0) * win[i];
+      fftRadix2(re, im);
+      for (let y = 0; y < H; y++) {
+        const bin = Math.floor((1 - y / H) * (NFFT / 2));
+        const p = re[bin] * re[bin] + im[bin] * im[bin];
+        const db = 10 * Math.log10(p + 1e-12);
+        const v = Math.min(1, Math.max(0, (db + DYN) / DYN));
+        const [r, g, b] = heatColor(v);
+        const idx = (y * W + x) * 4;
+        img.data[idx] = r; img.data[idx + 1] = g; img.data[idx + 2] = b;
+        img.data[idx + 3] = 255;
+      }
+    }
+    ctx.putImageData(img, 0, 0);
+    canvas.onclick = (e) => {
+      seek((e.offsetX / canvas.clientWidth) * decoded.duration);
+    };
+  } catch { /* display-only; ignore decode errors */ }
 }
 
 // ---------------------------------------------------------------- exports
