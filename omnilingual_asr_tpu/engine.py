@@ -415,16 +415,15 @@ class TranscriptionEngine:
 
         n_speakers = int(labels.max()) + 1 if len(labels) else 0
         top_emotion = EMOTIONS[int(np.argmax(emotion_counts))]
-        lang_names = ", ".join(l["language"] for l in all_languages[:4])
         # Summary must mention speaker count + overall tone (prompt
         # requirement #7, reference gemini_pipeline.py:210).
-        summary = (
-            f"Audio of {duration_s:.1f} seconds with {n_speakers} "
-            f"speaker{'s' if n_speakers != 1 else ''} across "
-            f"{len(segments)} segments"
-            + (f" in {lang_names}" if lang_names else "")
-            + f". Overall tone: {top_emotion}."
-        )
+        from .models.summarizer import template_summary
+
+        summary = template_summary(
+            duration_s=duration_s, n_speakers=n_speakers,
+            n_segments=len(segments),
+            language_names=[l["language"] for l in all_languages],
+            top_emotion=top_emotion)
         return TranscriptionResult(
             summary=summary,
             segments=segments,

@@ -1,0 +1,89 @@
+"""Audio summarization.
+
+Replaces prompt requirement #7 of the reference (a brief summary including
+speaker count and overall tone, reference gemini_pipeline.py:210, schema
+:126-129). Two tiers:
+
+1. ``template_summary`` — deterministic metadata summary (speaker count,
+   segment count, languages, duration, dominant tone). Always available;
+   this is what the engine emits today and it satisfies the schema contract
+   exactly (the reference frontend only *displays* the summary text and
+   strips appended metadata lines, public/static/app.js:617-620).
+
+2. ``SummaryDecoder`` — a neural summarizer: the translation decoder
+   architecture cross-attending to a downsampled view of the whole file's
+   encoder states (window-mean pooling keeps the memory bounded for 9.5 h
+   inputs). Architecture is in place and unit-tested; it activates once
+   trained weights exist (same checkpoint machinery as the ASR model).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..types import EMOTIONS
+from .translation import greedy_translate, tokens_to_text, translator_init
+
+
+def template_summary(*, duration_s: float, n_speakers: int, n_segments: int,
+                     language_names: List[str], top_emotion: str) -> str:
+    """Deterministic summary with the schema-required facts."""
+    langs = ", ".join(language_names[:4])
+    return (
+        f"Audio of {duration_s:.1f} seconds with {n_speakers} "
+        f"speaker{'s' if n_speakers != 1 else ''} across "
+        f"{n_segments} segments"
+        + (f" in {langs}" if langs else "")
+        + f". Overall tone: {top_emotion}."
+    )
+
+
+class SummaryDecoder:
+    """Neural summary head over pooled encoder states."""
+
+    def __init__(self, cfg: PipelineConfig, params=None, *,
+                 n_layers: int = 2, pool_windows: int = 128,
+                 seed: int = 7):
+        self.cfg = cfg
+        self.pool_windows = pool_windows
+        self.params = params if params is not None else translator_init(
+            jax.random.PRNGKey(seed), cfg, n_layers=n_layers)
+
+    def pool_states(self, window_states: List[np.ndarray]) -> np.ndarray:
+        """Mean-pool each window's encoder frames to one vector and pad to
+        ``pool_windows`` slots: [pool_windows, D] memory for the decoder.
+        (9.5 h = 1140 windows of 30 s; windows are further averaged in
+        groups to fit the slot budget.)"""
+        D = self.cfg.encoder.d_model
+        if not window_states:
+            return np.zeros((self.pool_windows, D), np.float32)
+        means = np.stack([w.mean(axis=0) for w in window_states])
+        n = len(means)
+        if n > self.pool_windows:
+            groups = np.array_split(means, self.pool_windows)
+            means = np.stack([g.mean(axis=0) for g in groups])
+            n = self.pool_windows
+        out = np.zeros((self.pool_windows, D), np.float32)
+        out[:n] = means
+        return out
+
+    def summarize(self, window_states: List[np.ndarray],
+                  max_len: int = 192) -> Optional[str]:
+        """Greedy-decode a summary from pooled states; None when the decode
+        produces nothing useful (callers fall back to template_summary)."""
+        pooled = self.pool_states(window_states)
+        n_valid = sum(1 for _ in window_states) or 1
+        enc = jnp.asarray(pooled)[None]
+        mask = jnp.asarray(
+            np.arange(self.pool_windows) < min(n_valid, self.pool_windows)
+        )[None]
+        toks = np.asarray(greedy_translate(
+            self.params, enc, mask, self.cfg, max_len=max_len,
+            n_heads=self.cfg.encoder.n_heads))
+        text = tokens_to_text(toks[0], self.cfg.vocab).strip()
+        return text or None

@@ -1,0 +1,56 @@
+"""Summarizer tests: template contract + neural decoder architecture."""
+
+import numpy as np
+
+from omnilingual_asr_tpu.config import tiny_config
+from omnilingual_asr_tpu.models.summarizer import (
+    SummaryDecoder,
+    template_summary,
+)
+
+
+class TestTemplate:
+    def test_mentions_required_facts(self):
+        s = template_summary(duration_s=62.0, n_speakers=2, n_segments=14,
+                             language_names=["English", "Lisu"],
+                             top_emotion="happy")
+        assert "2 speakers" in s
+        assert "happy" in s
+        assert "English" in s and "Lisu" in s
+
+    def test_singular_speaker(self):
+        s = template_summary(duration_s=5.0, n_speakers=1, n_segments=2,
+                             language_names=[], top_emotion="neutral")
+        assert "1 speaker " in s
+        assert "speakers" not in s
+
+
+class TestNeuralSummarizer:
+    def test_pooling_shapes(self, rng):
+        cfg = tiny_config()
+        dec = SummaryDecoder(cfg, n_layers=1, pool_windows=8)
+        D = cfg.encoder.d_model
+        windows = [rng.standard_normal((50, D)).astype(np.float32)
+                   for _ in range(3)]
+        pooled = dec.pool_states(windows)
+        assert pooled.shape == (8, D)
+        assert np.abs(pooled[:3]).sum() > 0
+        np.testing.assert_array_equal(pooled[3:], 0)
+
+    def test_pooling_compresses_many_windows(self, rng):
+        cfg = tiny_config()
+        dec = SummaryDecoder(cfg, n_layers=1, pool_windows=4)
+        D = cfg.encoder.d_model
+        windows = [rng.standard_normal((10, D)).astype(np.float32)
+                   for _ in range(20)]  # 20 windows -> 4 slots
+        pooled = dec.pool_states(windows)
+        assert pooled.shape == (4, D)
+        assert np.abs(pooled).sum() > 0
+
+    def test_summarize_runs(self, rng):
+        cfg = tiny_config()
+        dec = SummaryDecoder(cfg, n_layers=1, pool_windows=4)
+        D = cfg.encoder.d_model
+        windows = [rng.standard_normal((20, D)).astype(np.float32)]
+        out = dec.summarize(windows, max_len=16)
+        assert out is None or isinstance(out, str)
