@@ -157,3 +157,30 @@ class TestJson:
         assert export_transcript(DATA, "srt") == build_srt(DATA)
         with pytest.raises(ValueError):
             export_transcript(DATA, "nope")
+
+
+class TestGoldens:
+    """Byte-stability regression guard: exporter output is frozen under
+    tests/goldens/ — any formatting drift fails here."""
+
+    def _golden(self, name):
+        from pathlib import Path
+
+        return (Path(__file__).parent / "goldens" / name).read_text(
+            encoding="utf-8")
+
+    def test_eaf_golden(self):
+        assert build_eaf(DATA, date="2026-01-01T00:00:00.000Z") == \
+            self._golden("demo.eaf")
+
+    def test_textgrid_golden(self):
+        assert build_textgrid(DATA) == self._golden("demo.TextGrid")
+
+    def test_srt_golden(self):
+        assert build_srt(DATA) == self._golden("demo.srt")
+
+    def test_txt_golden(self):
+        assert build_plain_text(DATA) == self._golden("demo.txt")
+
+    def test_json_golden(self):
+        assert build_json(DATA) == self._golden("demo.json")
