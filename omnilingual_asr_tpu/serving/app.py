@@ -378,6 +378,21 @@ class OmniServer:
             self.history.delete(req.path_params["history_id"], self._user(req))
             return JSONResponse({"ok": True})
 
+        @r.route("GET", "/api/demo")
+        def demo(req: Request) -> Response:
+            """Built-in demo transcript (reference ships DEMO_EXAMPLE in the
+            SPA, wav2elan app.js:180-277); served so the client can show a
+            working example before any upload."""
+            from ..testing import demo_result
+            from .schema import result_to_entry
+
+            entry = result_to_entry(demo_result(),
+                                    file_name="demo-codeswitching.wav",
+                                    audio_url="")
+            entry["id"] = "demo"
+            entry["created_at"] = "2026-01-01T00:00:00Z"
+            return JSONResponse(entry)
+
         @r.route("GET", "/api/history/{history_id}/export")
         def export_history(req: Request) -> Response:
             """Server-side export via the byte-compatible exporters — the

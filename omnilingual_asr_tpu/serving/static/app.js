@@ -554,4 +554,62 @@ dz.ondrop = (e) => {
   if (e.dataTransfer.files.length) uploadFiles([...e.dataTransfer.files]);
 };
 
-refreshHistory();
+// search overlay: filter segments by text
+const searchBox = document.createElement("input");
+searchBox.id = "search-box";
+searchBox.placeholder = "Search transcript (press /)";
+$("#viz-controls").appendChild(searchBox);
+searchBox.oninput = () => {
+  const q = searchBox.value.toLowerCase();
+  document.querySelectorAll(".segment").forEach((el) => {
+    el.style.display = !q || el.textContent.toLowerCase().includes(q)
+      ? "" : "none";
+  });
+};
+
+// playback speed menu (reference speed menu 0.25-2x)
+const speedSel = document.createElement("select");
+speedSel.id = "speed-select";
+for (const s of [0.25, 0.5, 0.75, 1, 1.25, 1.5, 2]) {
+  const o = document.createElement("option");
+  o.value = s;
+  o.textContent = `${s}×`;
+  if (s === 1) o.selected = true;
+  speedSel.appendChild(o);
+}
+$("#viz-controls").appendChild(speedSel);
+speedSel.onchange = () => { $("#audio").playbackRate = +speedSel.value; };
+
+// keyboard shortcuts (space play/pause, arrows +-5s, / focuses search)
+document.addEventListener("keydown", (e) => {
+  if (e.target.tagName === "INPUT" || e.target.tagName === "TEXTAREA") return;
+  const audio = $("#audio");
+  if (e.key === " ") {
+    e.preventDefault();
+    if (audio.paused) audio.play(); else audio.pause();
+  } else if (e.key === "ArrowLeft") {
+    audio.currentTime = Math.max(0, audio.currentTime - 5);
+  } else if (e.key === "ArrowRight") {
+    audio.currentTime += 5;
+  } else if (e.key === "/") {
+    e.preventDefault();
+    searchBox.focus();
+  }
+});
+
+async function boot() {
+  await refreshHistory();
+  // first visit with empty history: show the built-in demo transcript
+  if (!$("#history").children.length) {
+    try {
+      const demo = await (await fetch("/api/demo")).json();
+      if (demo && demo.segments) {
+        activeId = "demo";
+        activeData = demo;
+        render();
+      }
+    } catch { /* demo optional */ }
+  }
+}
+
+boot();

@@ -342,3 +342,12 @@ class TestExportRoute:
         assert b"OmniScribe" in html
         status, js = server.request("GET", "/static/app.js", raw=True)
         assert status == 200 and b"uploadFiles" in js
+
+
+class TestDemoRoute:
+    def test_demo_entry(self, server):
+        status, demo = server.request("GET", "/api/demo")
+        assert status == 200
+        assert demo["id"] == "demo"
+        assert len(demo["segments"]) == 2
+        assert demo["segments"][0]["languages"][0]["code"] == "lis"
