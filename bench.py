@@ -46,6 +46,11 @@ def make_audio(path: Path, seconds: float, sr: int = 16000) -> None:
 def main() -> None:
     import jax
 
+    # Persistent compile cache: repeat bench invocations skip the ~40 s
+    # XLA compile in warmup.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/omniasr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from omnilingual_asr_tpu.engine import TranscriptionEngine
 
     wav = Path("/tmp/omniasr_bench.wav")
