@@ -63,6 +63,8 @@ class EncoderConfig:
     dtype: str = "bfloat16"     # compute dtype; params kept fp32
     use_flash_attention: bool = False  # Pallas blockwise kernel; inference
     #                                    only (no VJP) — engine turns it on
+    remat: bool = False         # jax.checkpoint each block: recompute
+    #                             activations in backward (memory <-> FLOPs)
 
     @property
     def head_dim(self) -> int:

@@ -146,9 +146,16 @@ def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
     Tp = x.shape[1]
     cos, sin = L.rope_angles(Tp, enc.head_dim)
 
+    block_fn = conformer_block_apply
+    if enc.remat:
+        # Rematerialize per block: activations are recomputed in the
+        # backward pass instead of stored — the standard HBM saver for
+        # long-sequence training (config.EncoderConfig.remat).
+        block_fn = jax.checkpoint(conformer_block_apply,
+                                  static_argnums=(5, 6, 7))
     for blk in params["blocks"]:
-        x = conformer_block_apply(blk, x, m, cos, sin, enc, dtype,
-                                  flash_interpret=flash_interpret)
+        x = block_fn(blk, x, m, cos, sin, enc, dtype,
+                     flash_interpret)
 
     ctc = L.dense_apply(params["ctc_head"], x, dtype)
     lid = L.dense_apply(params["lid_head"], x, dtype)

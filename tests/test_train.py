@@ -155,3 +155,33 @@ class TestSpecAugment:
         params, opt_state, step, metrics = train_step(
             state.params, state.opt_state, batch, state.step)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestRemat:
+    def test_remat_grads_match(self, manifest):
+        """jax.checkpoint blocks must not change values or gradients."""
+        import dataclasses
+
+        from omnilingual_asr_tpu.models.conformer import asr_init
+        from omnilingual_asr_tpu.train.step import loss_fn
+
+        cfg = tiny_config()
+        cfg_r = cfg.replace(encoder=dataclasses.replace(cfg.encoder,
+                                                        remat=True))
+        params = asr_init(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        B, T, L = 2, 64, 8
+        batch = {
+            "mel": jnp.asarray(rng.standard_normal(
+                (B, T, cfg.frontend.n_mels)), jnp.float32),
+            "mask": jnp.ones((B, T), bool),
+            "labels": jnp.asarray(rng.integers(1, 257, (B, L)), jnp.int32),
+            "label_mask": jnp.ones((B, L), bool),
+            "lid_label": jnp.zeros((B,), jnp.int32),
+            "emotion_label": jnp.zeros((B,), jnp.int32),
+        }
+        g1 = jax.grad(lambda p: loss_fn(p, batch, cfg)[0])(params)
+        g2 = jax.grad(lambda p: loss_fn(p, batch, cfg_r)[0])(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
