@@ -537,6 +537,120 @@ class TranscriptionEngine:
         _report("done", 3)
         return result
 
+    def transcribe_streaming(
+        self,
+        audio_path,
+        *,
+        language: Optional[str] = None,
+        speaker_count: Optional[str] = None,
+        orthography: Optional[str] = None,
+    ):
+        """Generator streaming results as device batches complete.
+
+        Yields ("partial", list[TranscriptSegment]) after each batch — with
+        provisional speaker labels from online centroid tracking — and
+        finally ("final", TranscriptionResult) with globally-reconciled
+        speakers (the same output transcribe() returns). The reference has
+        no incremental mode: its SSE stream only carries step numbers until
+        the full result lands (reference app.py:210-269).
+        """
+        from .models.orthography import ctc_logit_mask
+
+        cfg = self.config
+        samples = self._load_audio(Path(audio_path))
+        duration_s = len(samples) / cfg.frontend.sample_rate
+        windows = self._windows(samples)
+        if not windows:
+            yield ("final", TranscriptionResult(summary=None, segments=[],
+                                                detected_languages=None))
+            return
+        n_last = len(samples) - (len(windows) - 1) * self.window_samples
+        valid = []
+        for i in range(len(windows)):
+            n_s = n_last if i == len(windows) - 1 else self.window_samples
+            valid.append(cfg.frontend.frames_for_samples(n_s))
+        ctc_mask = jnp.asarray(ctc_logit_mask(orthography, cfg.vocab))
+
+        B = self.batch_size
+        all_outs = []
+        centroids: List[np.ndarray] = []   # online speaker centroids
+        counts: List[int] = []
+
+        for b0 in range(0, len(windows), B):
+            batch = windows[b0:b0 + B]
+            rows = [w for _, w in batch]
+            n_valid = [min(valid[b0 + k], self.window_frames)
+                       for k in range(len(batch))]
+            while len(rows) < B:
+                rows.append(np.zeros_like(rows[0]))
+                n_valid.append(0)
+            rows_i16 = np.clip(np.stack(rows) * 32768.0,
+                               -32768, 32767).astype(np.int16)
+            out = self._dispatch_batch(
+                jnp.asarray(rows_i16),
+                jnp.asarray(np.asarray(n_valid, np.int32)), ctc_mask)
+            ctc = np.asarray(out["ctc_ids"])
+            lid = np.asarray(out["lid_ids"])
+            emo = np.asarray(out["emotion_logits"], dtype=np.float32)
+            spk = np.asarray(out["speaker_embed"], dtype=np.float32)
+            sub_mask = np.asarray(out["mask"])
+
+            partial: List[TranscriptSegment] = []
+            for k in range(len(batch)):
+                nf_sub = int(sub_mask[k].sum())
+                w = {
+                    "offset_s": batch[k][0],
+                    "ctc_ids": ctc[k, :nf_sub],
+                    "lid_ids": lid[k, :nf_sub],
+                    "emotion_logits": emo[k, :nf_sub],
+                    "speaker_embed": spk[k, :nf_sub],
+                    "encoder_states": None,
+                }
+                all_outs.append(w)
+                segs = segments_from_alignment(
+                    w["ctc_ids"], self.frame_dur_s, cfg.vocab, cfg.decode,
+                    time_offset_s=w["offset_s"])
+                for s in segs:
+                    f0, f1 = s.frame_start, s.frame_end
+                    emb = w["speaker_embed"][f0:f1].mean(axis=0)
+                    lab = self._online_speaker(emb, centroids, counts)
+                    lid_frames = w["lid_ids"][f0:f1]
+                    langs = self._segment_languages(lid_frames, -1)
+                    emo_idx = int(np.argmax(
+                        w["emotion_logits"][f0:f1].mean(axis=0)[:len(EMOTIONS)]))
+                    partial.append(TranscriptSegment(
+                        start=round(s.start, 3), end=round(s.end, 3),
+                        speaker=f"Speaker {lab + 1}", text=s.text,
+                        language=langs[0]["name"],
+                        language_code=langs[0]["code"], languages=langs,
+                        emotion=EMOTIONS[emo_idx], translation=None,
+                        words=s.words))
+            yield ("partial", partial)
+
+        yield ("final", self._assemble(
+            all_outs, language=language, speaker_count=speaker_count,
+            duration_s=duration_s))
+
+    @staticmethod
+    def _online_speaker(emb: np.ndarray, centroids: List[np.ndarray],
+                        counts: List[int], threshold: float = 0.45) -> int:
+        """Assign an embedding to the nearest running centroid (cosine),
+        spawning a new speaker past the distance threshold."""
+        n = np.linalg.norm(emb) + 1e-9
+        e = emb / n
+        best, best_d = -1, 1e9
+        for i, c in enumerate(centroids):
+            d = 1.0 - float(e @ (c / (np.linalg.norm(c) + 1e-9)))
+            if d < best_d:
+                best, best_d = i, d
+        if best >= 0 and best_d < threshold:
+            centroids[best] = (centroids[best] * counts[best] + e) / (counts[best] + 1)
+            counts[best] += 1
+            return best
+        centroids.append(e)
+        counts.append(1)
+        return len(centroids) - 1
+
     def transcribe_chunked(
         self,
         audio_path,

@@ -21,6 +21,41 @@ AXIS_DATA = "data"
 AXIS_MODEL = "model"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize multi-host JAX (pod slices / DCN-spanning meshes).
+
+    Single-host runs skip this entirely. On multi-host TPU pods, call once
+    per process before building a mesh — afterwards `jax.devices()` spans
+    all hosts and GSPMD routes intra-slice collectives over ICI and
+    inter-slice over DCN automatically. Arguments default to the standard
+    env vars (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID) and cloud
+    TPU metadata when available.
+
+    Returns True when distributed mode was initialized.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.getenv(
+        "COORDINATOR_ADDRESS")
+    if coordinator_address is None and os.getenv("TPU_WORKER_HOSTNAMES") is None:
+        return False  # single-host
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None or os.getenv("NUM_PROCESSES"):
+        kwargs["num_processes"] = int(
+            num_processes if num_processes is not None
+            else os.environ["NUM_PROCESSES"])
+    if process_id is not None or os.getenv("PROCESS_ID"):
+        kwargs["process_id"] = int(
+            process_id if process_id is not None
+            else os.environ["PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def build_mesh(cfg: Optional[MeshConfig] = None,
                devices: Optional[list] = None) -> Mesh:
     """Build a (data, model) mesh over the given (default: all) devices."""

@@ -215,3 +215,33 @@ class TestFaultHandling:
         out = engine._dispatch_batch(sb, nb, mask)
         assert len(calls) == 2
         assert "ctc_ids" in out
+
+
+class TestStreaming:
+    def test_streaming_partials_then_final(self, engine, speech_wav):
+        events = list(engine.transcribe_streaming(speech_wav))
+        kinds = [k for k, _ in events]
+        assert kinds[-1] == "final"
+        assert kinds[:-1] and all(k == "partial" for k in kinds[:-1])
+        final = events[-1][1]
+        partial_segments = [s for k, segs in events[:-1] for s in segs]
+        # streaming covers the same audio as the final result
+        assert len(partial_segments) == len(final.segments)
+        # partial timestamps monotonic
+        starts = [s.start for s in partial_segments]
+        assert starts == sorted(starts)
+        for s in partial_segments:
+            assert s.speaker.startswith("Speaker ")
+
+    def test_streaming_empty_audio(self, engine, tmp_path):
+        import wave
+
+        p = tmp_path / "e.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(b"")
+        events = list(engine.transcribe_streaming(p))
+        assert events[-1][0] == "final"
+        assert events[-1][1].segments == []
