@@ -268,6 +268,65 @@ class OmniServer:
 
             return SSEResponse(events())
 
+        @r.route("POST", "/api/transcribe-stream-live")
+        def transcribe_stream_live(req: Request) -> Response:
+            """Extension route: like /api/transcribe-stream but also emits
+            'segments' events as device batches finish (incremental
+            transcript), via engine.transcribe_streaming. Reference routes
+            stay byte-stable; clients ignoring unknown events still work."""
+            fields, files = req.form()
+            ups = files.get("file")
+            if not ups:
+                raise HTTPError(400, "Missing file name.")
+            path, display = self._save_upload(ups[0], self.upload_dir)
+            if path.suffix.lower() == ".zip":
+                raise HTTPError(400, "Use batch endpoint for zip uploads.")
+            user = self._user(req)
+            eng = self.engine()
+            if not hasattr(eng, "transcribe_streaming"):
+                raise HTTPError(501, "Engine does not support streaming.")
+
+            def events():
+                yield {"event": "progress", "data": json.dumps(
+                    {"step": "uploading", "index": 0, "file_name": display})}
+                try:
+                    gen = eng.transcribe_streaming(
+                        str(path),
+                        language=fields.get("language") or None,
+                        speaker_count=fields.get("speaker_count") or None,
+                        orthography=fields.get("orthography") or None)
+                    yield {"event": "progress", "data": json.dumps(
+                        {"step": "transcribing", "index": 1,
+                         "file_name": display})}
+                    final = None
+                    for kind, payload in gen:
+                        if kind == "partial":
+                            from .schema import segments_to_wire
+
+                            from ..types import TranscriptionResult
+
+                            wire = segments_to_wire(
+                                TranscriptionResult(segments=payload))
+                            yield {"event": "segments",
+                                   "data": json.dumps({"segments": wire})}
+                        else:
+                            final = payload
+                    yield {"event": "progress", "data": json.dumps(
+                        {"step": "processing", "index": 2,
+                         "file_name": display})}
+                    entry = result_to_entry(
+                        final, file_name=display,
+                        audio_url=f"/uploads/{path.name}")
+                    entry = self.history.put(entry, user)
+                    yield {"event": "progress", "data": json.dumps(
+                        {"step": "done", "index": 3, "file_name": display})}
+                    yield {"event": "result", "data": json.dumps(entry)}
+                except Exception as e:  # noqa: BLE001
+                    yield {"event": "error",
+                           "data": json.dumps({"error": str(e)})}
+
+            return SSEResponse(events())
+
         @r.route("POST", "/api/transcribe-batch-stream")
         def transcribe_batch_stream(req: Request) -> Response:
             fields, files = req.form()

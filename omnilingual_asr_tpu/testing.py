@@ -88,6 +88,14 @@ class FakeEngine:
 
     transcribe_chunked = transcribe
 
+    def transcribe_streaming(self, audio_path, *, language=None,
+                             speaker_count=None, orthography=None):
+        """Streaming double: one partial per segment, then the final."""
+        result = self.result
+        for seg in result.segments:
+            yield ("partial", [seg])
+        yield ("final", result)
+
     def transcribe_with_retry(self, audio_path, *, max_retries: int = 3,
                               progress_callback=None, language=None,
                               speaker_count=None) -> TranscriptionResult:

@@ -351,3 +351,20 @@ class TestDemoRoute:
         assert demo["id"] == "demo"
         assert len(demo["segments"]) == 2
         assert demo["segments"][0]["languages"][0]["code"] == "lis"
+
+
+class TestLiveStreamRoute:
+    def test_segments_events_then_result(self, server):
+        body, ctype = multipart({}, [("file", "live.wav", make_wav_bytes())])
+        status, events = server.sse("POST", "/api/transcribe-stream-live",
+                                    body, ctype)
+        assert status == 200
+        kinds = [e for e, _ in events]
+        assert kinds[0] == "progress"
+        assert "segments" in kinds
+        assert kinds[-1] == "result"
+        seg_events = [d for e, d in events if e == "segments"]
+        total = sum(len(d["segments"]) for d in seg_events)
+        assert total == 2  # demo result has 2 segments
+        steps = [d["step"] for e, d in events if e == "progress"]
+        assert steps == ["uploading", "transcribing", "processing", "done"]
