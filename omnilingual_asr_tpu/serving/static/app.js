@@ -133,10 +133,16 @@ async function uploadFiles(files) {
   const spk = $("#opt-speakers").value.trim();
   if (lang) form.append("language", lang);
   if (spk) form.append("speaker_count", spk);
+  // single files use the live route (incremental 'segments' events);
+  // batches use the reference batch SSE route
   const endpoint = batch ? "/api/transcribe-batch-stream"
-                         : "/api/transcribe-stream";
-  const resp = await fetch(endpoint, { method: "POST", body: form });
+                         : "/api/transcribe-stream-live";
+  let resp = await fetch(endpoint, { method: "POST", body: form });
+  if (resp.status === 501 && !batch) {
+    resp = await fetch("/api/transcribe-stream", { method: "POST", body: form });
+  }
   if (!resp.ok) { setProgress("Upload failed", 1); return; }
+  let liveSegments = [];
 
   // Manual SSE reader, split-frame safe.
   const reader = resp.body.getReader();
@@ -165,6 +171,12 @@ async function uploadFiles(files) {
           ? `[${(payload.file_index ?? 0) + 1}/${payload.file_count}] ` : "";
         setProgress(`${prefix}${payload.file_name}: ${payload.step}`,
                     (i + 1) / steps.length);
+      } else if (event === "segments") {
+        // incremental transcript: render as batches finish
+        liveSegments = liveSegments.concat(payload.segments);
+        activeId = null;
+        activeData = { file_name: files[0].name, segments: liveSegments };
+        render();
       } else if (event === "result") {
         lastEntry = payload.results ? payload.results[0] : payload;
       } else if (event === "error") {
