@@ -23,9 +23,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: repeated test runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/omniasr_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache for CPU tests — XLA:CPU AOT
+# artifacts encode host CPU features and can SIGILL across machines.
+# The TPU bench keeps its own cache (bench.py).
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
