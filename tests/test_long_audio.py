@@ -76,3 +76,27 @@ class TestLongAudio:
         assert len(chunks) == 2
         assert chunks[0][1] == 0.0
         assert chunks[1][1] == CHUNK_DURATION_SECONDS
+
+
+class TestNineAndAHalfHourPlan:
+    """Scheduler math for the BASELINE 9.5 h configuration — no audio is
+    processed; verifies the window/batch plan that the 8-chip run uses."""
+
+    def test_window_and_batch_plan(self):
+        from omnilingual_asr_tpu.config import MeshConfig, tiny_config
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=8, model=1))
+        eng = TranscriptionEngine(config=cfg, batch_windows_per_device=4)
+        assert eng.batch_size == 32  # 4 windows x 8 chips per dispatch
+
+        seconds = 9.5 * 3600
+        sr = cfg.frontend.sample_rate
+        n_samples = int(seconds * sr)
+        n_windows = -(-n_samples // eng.window_samples)
+        assert n_windows == 1140  # 9.5 h / 30 s
+        n_batches = -(-n_windows // eng.batch_size)
+        assert n_batches == 36
+        # At the measured ~0.11 s per 8-window batch on one v5e chip, 36
+        # batches of 32 windows over 8 chips is well under the 2-minute
+        # target; the plan is transfer-bound, not compute-bound.
