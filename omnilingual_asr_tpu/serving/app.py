@@ -171,6 +171,21 @@ class OmniServer:
                                 audio_url=audio_url)
         return entry
 
+    def _store_entry(self, entry: Dict[str, Any], user: Optional[str],
+                     audio_path: Path) -> Dict[str, Any]:
+        """Persist a history entry and, in SQLite mode, the audio blob keyed
+        audio/{id}.{ext} (the reference serverless flow, transcribe-stream.js
+        :55 + _history.js:222-230), so GET /api/audio/{id} serves it."""
+        entry = self.history.put(entry, user)
+        if isinstance(self.history, SqliteHistory):
+            try:
+                self.history.store_audio(entry["id"],
+                                         audio_path.suffix.lower(),
+                                         audio_path.read_bytes())
+            except OSError:
+                pass  # blob storage is best-effort; uploads dir still serves
+        return entry
+
     # -- routes ------------------------------------------------------------
 
     def _register_routes(self):
@@ -216,7 +231,7 @@ class OmniServer:
                 language=fields.get("language") or None,
                 speaker_count=fields.get("speaker_count") or None,
                 orthography=fields.get("orthography") or None)
-            entry = self.history.put(entry, self._user(req))
+            entry = self._store_entry(entry, self._user(req), path)
             return JSONResponse(entry)
 
         @r.route("POST", "/api/transcribe-stream")
@@ -263,7 +278,7 @@ class OmniServer:
                     yield {"event": "error",
                            "data": json.dumps({"error": holder["error"]})}
                     return
-                entry = self.history.put(holder["entry"], user)
+                entry = self._store_entry(holder["entry"], user, path)
                 yield {"event": "result", "data": json.dumps(entry)}
 
             return SSEResponse(events())
@@ -317,7 +332,7 @@ class OmniServer:
                     entry = result_to_entry(
                         final, file_name=display,
                         audio_url=f"/uploads/{path.name}")
-                    entry = self.history.put(entry, user)
+                    entry = self._store_entry(entry, user, path)
                     yield {"event": "progress", "data": json.dumps(
                         {"step": "done", "index": 3, "file_name": display})}
                     yield {"event": "result", "data": json.dumps(entry)}
@@ -370,7 +385,7 @@ class OmniServer:
                                 language=language,
                                 speaker_count=speaker_count,
                                 orthography=orthography, progress_cb=cb)
-                            results[i] = self.history.put(entry, user)
+                            results[i] = self._store_entry(entry, user, path)
                         except Exception as e:  # noqa: BLE001
                             q.put({"step": "error", "index": -1,
                                    "file_index": i, "file_count": file_count,

@@ -368,3 +368,17 @@ class TestLiveStreamRoute:
         assert total == 2  # demo result has 2 segments
         steps = [d["step"] for e, d in events if e == "progress"]
         assert steps == ["uploading", "transcribing", "processing", "done"]
+
+
+class TestAudioBlobs:
+    def test_audio_served_by_id(self, server):
+        wav = make_wav_bytes()
+        body, ctype = multipart({}, [("file", "blob.wav", wav)])
+        _, entry = server.request("POST", "/api/transcribe", body, ctype)
+        status, blob = server.request("GET", f"/api/audio/{entry['id']}",
+                                      raw=True)
+        assert status == 200
+        assert blob == wav  # byte-exact blob roundtrip
+        # entry carries the audio_key after reload
+        _, got = server.request("GET", f"/api/history/{entry['id']}")
+        assert got.get("audio_key", "").startswith("audio/")
