@@ -65,6 +65,8 @@ class EncoderConfig:
     #                                    only (no VJP) — engine turns it on
     remat: bool = False         # jax.checkpoint each block: recompute
     #                             activations in backward (memory <-> FLOPs)
+    n_experts: int = 0          # >0: second FFN of each block becomes a
+    #                             top-1 MoE with experts sharded over 'model'
 
     @property
     def head_dim(self) -> int:

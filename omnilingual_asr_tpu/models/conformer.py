@@ -40,21 +40,33 @@ SPK_DIM = 256
 
 def conformer_block_init(key, cfg: EncoderConfig):
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    if cfg.n_experts > 0:
+        from .moe import moe_ffn_init
+
+        ffn2 = moe_ffn_init(k4, cfg.d_model, cfg.n_experts, cfg.ffn_mult)
+    else:
+        ffn2 = L.ffn_init(k4, cfg.d_model, cfg.ffn_mult)
     return {
         "ffn1": L.ffn_init(k1, cfg.d_model, cfg.ffn_mult),
         "mhsa": L.mhsa_init(k2, cfg.d_model, cfg.n_heads),
         "conv": L.convmod_init(k3, cfg.d_model, cfg.conv_kernel),
-        "ffn2": L.ffn_init(k4, cfg.d_model, cfg.ffn_mult),
+        "ffn2": ffn2,
         "ln_out": L.layernorm_init(cfg.d_model),
     }
 
 
-def conformer_block_spec():
+def conformer_block_spec(cfg: Optional[EncoderConfig] = None):
+    if cfg is not None and cfg.n_experts > 0:
+        from .moe import moe_ffn_spec
+
+        ffn2 = moe_ffn_spec()
+    else:
+        ffn2 = L.ffn_spec()
     return {
         "ffn1": L.ffn_spec(),
         "mhsa": L.mhsa_spec(),
         "conv": L.convmod_spec(),
-        "ffn2": L.ffn_spec(),
+        "ffn2": ffn2,
         "ln_out": L.layernorm_spec(),
     }
 
@@ -66,7 +78,14 @@ def conformer_block_apply(p, x, mask, cos, sin, cfg: EncoderConfig, dtype,
                      use_flash=cfg.use_flash_attention,
                      flash_interpret=flash_interpret)
     x = L.convmod_apply(p["conv"], x, mask, dtype)
-    x = L.ffn_apply(p["ffn2"], x, dtype)
+    if cfg.n_experts > 0:
+        from .moe import moe_ffn_apply
+
+        # MoE aux loss is surfaced through asr_forward when needed;
+        # inference discards it.
+        x, _ = moe_ffn_apply(p["ffn2"], x)
+    else:
+        x = L.ffn_apply(p["ffn2"], x, dtype)
     return L.layernorm_apply(p["ln_out"], x)
 
 
@@ -100,7 +119,7 @@ def asr_param_specs(cfg: PipelineConfig):
     return {
         "subsample": L.dense_spec(None, "model"),
         "in_ln": L.layernorm_spec(),
-        "blocks": [conformer_block_spec() for _ in range(enc.n_layers)],
+        "blocks": [conformer_block_spec(enc) for _ in range(enc.n_layers)],
         "ctc_head": L.dense_spec(None, "model"),
         "lid_head": L.dense_spec(None, "model"),
         "emotion_head": L.dense_spec(None, None),

@@ -70,3 +70,49 @@ class TestMoE:
                                L.layernorm_apply(params["ln"], x))
         top = np.asarray(jnp.argmax(logits, axis=-1)).ravel()
         assert len(np.unique(top)) >= 2
+
+
+class TestMoEConformer:
+    def test_moe_encoder_forward_and_train(self, rng):
+        """n_experts>0 swaps each block's second FFN for a sharded MoE; the
+        full forward and a train step run on a dp x tp mesh."""
+        import dataclasses
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.models.conformer import (
+            asr_forward,
+            asr_init,
+            asr_param_specs,
+        )
+        from omnilingual_asr_tpu.train.step import make_optimizer, make_train_step
+
+        cfg = tiny_config()
+        cfg = cfg.replace(
+            encoder=dataclasses.replace(cfg.encoder, n_experts=4),
+            mesh=MeshConfig(data=2, model=2))
+        params = asr_init(jax.random.PRNGKey(0), cfg)
+        assert "router" in params["blocks"][0]["ffn2"]
+
+        mesh = build_mesh(cfg.mesh)
+        sharded = shard_params(params, asr_param_specs(cfg), mesh)
+        x = jnp.asarray(rng.standard_normal((2, 64, cfg.frontend.n_mels)),
+                        jnp.float32)
+        mask = jnp.ones((2, 64), bool)
+        out = jax.jit(lambda p, m, k: asr_forward(p, m, k, cfg))(
+            sharded, x, mask)
+        assert np.isfinite(np.asarray(out["ctc_logits"],
+                                      dtype=np.float32)).all()
+
+        init_state, train_step = make_train_step(
+            cfg, mesh, tx=make_optimizer(lr=1e-3, warmup_steps=2))
+        state = init_state(seed=0)
+        batch = {
+            "mel": x, "mask": mask,
+            "labels": jnp.asarray(rng.integers(1, 257, (2, 8)), jnp.int32),
+            "label_mask": jnp.ones((2, 8), bool),
+            "lid_label": jnp.zeros((2,), jnp.int32),
+            "emotion_label": jnp.zeros((2,), jnp.int32),
+        }
+        params2, opt_state, step, metrics = train_step(
+            state.params, state.opt_state, batch, state.step)
+        assert np.isfinite(float(metrics["loss"]))
