@@ -157,3 +157,47 @@ class TestMelPallas:
         fe = MelFrontend(cfg, interpret=True)
         out = np.asarray(fe(np.zeros(100, np.float32)))
         assert out.shape == (0, cfg.n_mels)
+
+
+class TestWavRobustness:
+    """Malformed-input handling for the RIFF parser (decode must fail
+    cleanly, never crash or hang)."""
+
+    def test_truncated_header(self):
+        with pytest.raises(ValueError):
+            decode_wav_bytes(b"RIFF\x00\x00")
+
+    def test_wrong_magic(self):
+        with pytest.raises(ValueError):
+            decode_wav_bytes(b"JUNK" + b"\x00" * 100)
+
+    def test_no_data_chunk(self):
+        import struct
+
+        buf = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        buf += b"fmt " + struct.pack("<I", 16)
+        buf += struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        with pytest.raises(ValueError):
+            decode_wav_bytes(buf)
+
+    def test_data_size_beyond_file(self):
+        import struct
+
+        buf = b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        buf += b"fmt " + struct.pack("<I", 16)
+        buf += struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        buf += b"data" + struct.pack("<I", 10**6) + b"\x01\x00" * 4
+        x, sr = decode_wav_bytes(buf)  # clamps to available bytes
+        assert len(x) == 4 and sr == 8000
+
+    def test_weird_chunk_padding(self):
+        import struct
+
+        # odd-sized unknown chunk with pad byte before data
+        buf = b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        buf += b"fmt " + struct.pack("<I", 16)
+        buf += struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        buf += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        buf += b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+        x, sr = decode_wav_bytes(buf)
+        assert len(x) == 2
