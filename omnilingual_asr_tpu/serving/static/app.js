@@ -248,17 +248,41 @@ function highlightKey(seg) {
   return null;
 }
 
+// Code-switching color: average the colors of all languages in the segment
+// (the reference's averaging approach for multi-language segments).
+function mixColors(hexes) {
+  let r = 0, g = 0, b = 0;
+  for (const h of hexes) {
+    r += parseInt(h.slice(1, 3), 16);
+    g += parseInt(h.slice(3, 5), 16);
+    b += parseInt(h.slice(5, 7), 16);
+  }
+  const n = hexes.length || 1;
+  const c = (v) => Math.round(v / n).toString(16).padStart(2, "0");
+  return `#${c(r)}${c(g)}${c(b)}`;
+}
+
+function segmentColor(seg, colorMap) {
+  const mode = $("#highlight-mode").value;
+  if (mode === "language" && seg.languages && seg.languages.length > 1) {
+    return mixColors(seg.languages.map((l) => colorFor(l.code, colorMap)));
+  }
+  const key = highlightKey(seg);
+  return key === null ? "#3a4048" : colorFor(key, colorMap);
+}
+
+let boxView = false;
+
 function renderTranscript() {
   const root = $("#transcript");
   root.innerHTML = "";
   wordEls = [];
   const spkColors = {};
+  root.classList.toggle("box-view", boxView);
   (activeData.segments || []).forEach((seg, si) => {
     const div = document.createElement("div");
     div.className = "segment";
-    const key = highlightKey(seg);
-    div.style.borderLeftColor =
-      key === null ? "#3a4048" : colorFor(key, spkColors);
+    div.style.borderLeftColor = segmentColor(seg, spkColors);
     div.oncontextmenu = (e) => {
       e.preventDefault();
       openCtxMenu(e, si);
@@ -387,6 +411,11 @@ document.querySelectorAll("#ctx-menu button").forEach((btn) => {
 });
 
 $("#highlight-mode").onchange = () => renderTranscript();
+$("#view-toggle").onclick = () => {
+  boxView = !boxView;
+  $("#view-toggle").textContent = boxView ? "Flow view" : "Box view";
+  renderTranscript();
+};
 
 // ---------------------------------------------------------------- playback
 
