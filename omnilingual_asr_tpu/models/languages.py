@@ -61,6 +61,42 @@ KNOWN_LANGUAGES: List[Tuple[str, str]] = [
     ("Ladino", "lad"), ("Romani", "rom"), ("Cherokee", "chr"), ("Navajo", "nv"),
     ("Inuktitut", "iu"), ("Greenlandic", "kl"), ("Cree", "cr"), ("Ojibwe", "oj"),
     ("Nahuatl", "nah"), ("Maya", "myn"), ("Mapudungun", "arn"),
+    # -- remaining ISO 639-1 codes --
+    ("Abkhaz", "ab"), ("Aragonese", "an"), ("Avaric", "av"),
+    ("Bashkir", "ba"), ("Belarusian", "be"), ("Bislama", "bi"),
+    ("Breton", "br"), ("Chechen", "ce"), ("Chamorro", "ch"),
+    ("Corsican", "co"), ("Church Slavonic", "cu"), ("Chuvash", "cv"),
+    ("Divehi", "dv"), ("Faroese", "fo"), ("Western Frisian", "fy"),
+    ("Scottish Gaelic", "gd"), ("Manx", "gv"), ("Hiri Motu", "ho"),
+    ("Interlingua", "ia"), ("Sichuan Yi", "ii"), ("Inupiaq", "ik"),
+    ("Ido", "io"), ("Kuanyama", "kj"), ("Kanuri", "kr"), ("Komi", "kv"),
+    ("Cornish", "kw"), ("Luxembourgish", "lb"), ("Limburgish", "li"),
+    ("Luba-Katanga", "lu"), ("Marshallese", "mh"), ("Maltese", "mt"),
+    ("Nauru", "na"), ("Norwegian Bokmal", "nb"), ("Ndonga", "ng"),
+    ("Norwegian Nynorsk", "nn"), ("South Ndebele", "nr"),
+    ("Chichewa", "ny"), ("Occitan", "oc"), ("Ossetian", "os"),
+    ("Pali", "pi"), ("Romansh", "rm"), ("Sardinian", "sc"),
+    ("Northern Sami", "se"), ("Sango", "sg"), ("Swati", "ss"),
+    ("Tsonga", "ts"), ("Tatar", "tt"), ("Tahitian", "ty"),
+    ("Venda", "ve"), ("Volapuk", "vo"), ("Walloon", "wa"),
+    ("Zhuang", "za"),
+    # -- widely-spoken ISO 639-3 languages --
+    ("Cantonese", "yue"), ("Wu Chinese", "wuu"), ("Min Nan", "nan"),
+    ("Hakka", "hak"), ("Ilocano", "ilo"), ("Hiligaynon", "hil"),
+    ("Waray", "war"), ("Kapampangan", "pam"), ("Pangasinan", "pag"),
+    ("Central Bikol", "bcl"), ("Egyptian Arabic", "arz"),
+    ("Moroccan Arabic", "ary"), ("Sylheti", "syl"),
+    ("Chittagonian", "ctg"), ("Marwari", "mwr"), ("Awadhi", "awa"),
+    ("Chhattisgarhi", "hne"), ("Magahi", "mag"), ("Haryanvi", "bgc"),
+    ("Rajasthani", "raj"), ("Madurese", "mad"), ("Minangkabau", "min"),
+    ("Buginese", "bug"), ("Acehnese", "ace"), ("Balinese", "ban"),
+    ("Zazaki", "zza"), ("Sorani Kurdish", "ckb"), ("Tachelhit", "shi"),
+    ("Kabyle", "kab"), ("Central Atlas Tamazight", "tzm"),
+    ("Serer", "srr"), ("Soninke", "snk"), ("Mossi", "mos"),
+    ("Dagbani", "dag"), ("Luhya", "luy"), ("Sukuma", "suk"),
+    ("Bemba", "bem"), ("Tumbuka", "tum"), ("Tigre", "tig"),
+    ("Sidamo", "sid"), ("Wolaytta", "wal"), ("Gondi", "gon"),
+    ("Tulu", "tcy"), ("Newari", "new"),
 ]
 
 
