@@ -15,7 +15,7 @@ for fast convergence.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -86,9 +86,8 @@ def aed_loss(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
     l_ctc = ctc_loss(out["ctc_logits"], out["mask"], labels, lmask,
                      blank_id=cfg.vocab.blank_id)
 
-    # CE target: the label at each position; first padding position learns
-    # EOS(0), later padding is ignored.
-    first_pad = lmask.cumsum(axis=1) == lmask.sum(axis=1, keepdims=True)
+    # CE target: the label at each position; the first padding position
+    # learns EOS(0), later padding is ignored.
     eos_pos = (~lmask) & jnp.concatenate(
         [jnp.ones((B, 1), bool), lmask[:, :-1]], axis=1)
     target = jnp.where(lmask, labels, 0)

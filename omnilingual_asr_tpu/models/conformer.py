@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..config import EncoderConfig, PipelineConfig, VocabConfig
+from ..config import EncoderConfig, PipelineConfig
 from . import layers as L
 
 # Head dimensions (lane-aligned).

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
-from ..types import EMOTIONS
 from .translation import greedy_translate, tokens_to_text, translator_init
 
 

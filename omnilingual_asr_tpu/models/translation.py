@@ -17,7 +17,6 @@ TPU design notes:
 from __future__ import annotations
 
 import math
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from ..config import EncoderConfig, PipelineConfig
 from .conformer import asr_init

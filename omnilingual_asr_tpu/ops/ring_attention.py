@@ -15,7 +15,6 @@ single exact attention over the full sequence.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
