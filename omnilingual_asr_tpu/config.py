@@ -63,6 +63,9 @@ class EncoderConfig:
     dtype: str = "bfloat16"     # compute dtype; params kept fp32
     use_flash_attention: bool = False  # Pallas blockwise kernel; inference
     #                                    only (no VJP) — engine turns it on
+    use_fused_conv: bool = False       # fused Pallas conv module (5x over
+    #                                    XLA's depthwise lowering); inference
+    #                                    only — engine turns it on
     remat: bool = False         # jax.checkpoint each block: recompute
     #                             activations in backward (memory <-> FLOPs)
     n_experts: int = 0          # >0: second FFN of each block becomes a

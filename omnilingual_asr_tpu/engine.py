@@ -142,7 +142,8 @@ class TranscriptionEngine:
         t_sub = window_frames // cfg.encoder.subsample_factor
         use_flash = t_sub % _FLASH_BLOCK_Q == 0
         infer_cfg = cfg.replace(encoder=_dc.replace(
-            cfg.encoder, use_flash_attention=use_flash))
+            cfg.encoder, use_flash_attention=use_flash,
+            use_fused_conv=True))
         flash_interpret = self._frontend.interpret
 
         def process(params, samples_i16, n_valid_frames, ctc_mask):

@@ -77,7 +77,15 @@ def conformer_block_apply(p, x, mask, cos, sin, cfg: EncoderConfig, dtype,
     x = L.mhsa_apply(p["mhsa"], x, cfg.n_heads, mask, cos, sin, dtype,
                      use_flash=cfg.use_flash_attention,
                      flash_interpret=flash_interpret)
-    x = L.convmod_apply(p["conv"], x, mask, dtype)
+    if cfg.use_fused_conv:
+        from ..ops.conv_module import convmod_apply_fused
+
+        # 5x over XLA's depthwise-conv lowering (ops/conv_module.py);
+        # shares the interpret flag with the flash kernel.
+        x = convmod_apply_fused(p["conv"], x, mask,
+                                interpret=flash_interpret)
+    else:
+        x = L.convmod_apply(p["conv"], x, mask, dtype)
     if cfg.n_experts > 0:
         from .moe import moe_ffn_apply
 

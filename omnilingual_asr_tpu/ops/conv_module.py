@@ -1,0 +1,106 @@
+"""Fused conformer convolution-module kernel (Pallas/TPU).
+
+XLA lowers depthwise `conv_general_dilated(feature_group_count=D)` poorly on
+TPU (measured 5.4 ms per block at [8,768,512] — half the whole block's
+cost). This kernel fuses the ENTIRE conv module in VMEM:
+
+    LN -> pointwise(2D) -> GLU -> depthwise K taps (shifted FMA on the VPU)
+       -> LN -> swish -> pointwise(D) -> residual add
+
+One grid instance per batch row holds the full [T, D] sequence in VMEM, so
+the depthwise taps are plain static slices — no halo exchange, no grouped
+convolution lowering at all. The two pointwise projections run on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _conv_kernel(K, dtype, x_ref, mask_ref, ln_s, ln_b, pw1_ref, dw_ref,
+                 dwln_s, dwln_b, pw2_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)                      # [T, D]
+    T, D = x.shape
+    h = _ln(x, ln_s[0], ln_b[0])
+    g = jnp.dot(h.astype(dtype), pw1_ref[:].astype(dtype),
+                preferred_element_type=jnp.float32)        # [T, 2D]
+    a = g[:, :D]
+    b = g[:, D:]
+    glu = a * jax.nn.sigmoid(b)
+    glu = glu * mask_ref[0, 0, :].astype(jnp.float32)[:, None]
+
+    # Depthwise conv as K static shifted FMAs (VPU), SAME padding.
+    pad_l = (K - 1) // 2
+    padded = jnp.pad(glu, ((pad_l, K - 1 - pad_l), (0, 0)))
+    out = jnp.zeros((T, D), jnp.float32)
+    for k in range(K):
+        out = out + padded[k:k + T, :] * dw_ref[k, :][None, :]
+
+    out = _ln(out, dwln_s[0], dwln_b[0])
+    out = jax.nn.silu(out)
+    out = jnp.dot(out.astype(dtype), pw2_ref[:].astype(dtype),
+                  preferred_element_type=jnp.float32)      # [T, D]
+    o_ref[0] = (x + out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_conv_module(x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
+                      dwln_bias, pw2, interpret: bool = False):
+    """x: [B, T, D] f32; mask: [B, T] bool; weights as in convmod params.
+
+    Returns [B, T, D] f32 (residual included).
+    """
+    B, T, D = x.shape
+    K = dw.shape[0]
+    dtype = jnp.bfloat16
+    kernel = functools.partial(_conv_kernel, K, dtype)
+    row = lambda b: (b, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 2 * D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * D * (2 * D + D) + B * T * D * K * 2,
+            bytes_accessed=x.size * 8 + (D * 3 * D + K * D) * 4,
+            transcendentals=B * T * D * 2,
+        ),
+        interpret=interpret,
+    )(x,
+      mask[:, None, :].astype(jnp.int32),
+      ln_scale[None, :], ln_bias[None, :], pw1, dw,
+      dwln_scale[None, :], dwln_bias[None, :], pw2)
+
+
+def convmod_apply_fused(p, x, mask, interpret: bool = False):
+    """Drop-in for layers.convmod_apply using the fused kernel."""
+    return fused_conv_module(
+        x.astype(jnp.float32), mask,
+        p["ln"]["scale"], p["ln"]["bias"],
+        p["pw1"]["w"], p["dw"],
+        p["dw_ln"]["scale"], p["dw_ln"]["bias"],
+        p["pw2"]["w"], interpret=interpret)
