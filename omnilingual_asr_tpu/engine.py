@@ -141,9 +141,18 @@ class TranscriptionEngine:
 
         t_sub = window_frames // cfg.encoder.subsample_factor
         use_flash = t_sub % _FLASH_BLOCK_Q == 0
+        # Fused conv holds one full [T', D] sequence (plus the 2D-wide GLU
+        # intermediate and both pointwise weights) in VMEM; only enable
+        # when that comfortably fits the ~16 MB budget.
+        d = cfg.encoder.d_model
+        conv_vmem = 4 * (t_sub * d * 3   # x + out + residual copies
+                         + t_sub * 2 * d  # GLU intermediate
+                         + d * 2 * d + d * d  # pw1 + pw2
+                         + cfg.encoder.conv_kernel * d)
+        use_fused_conv = conv_vmem < 12 * 1024 * 1024
         infer_cfg = cfg.replace(encoder=_dc.replace(
             cfg.encoder, use_flash_attention=use_flash,
-            use_fused_conv=True))
+            use_fused_conv=use_fused_conv))
         flash_interpret = self._frontend.interpret
 
         def process(params, samples_i16, n_valid_frames, ctc_mask):
