@@ -187,7 +187,8 @@ class TranscriptionEngine:
             # ctc_mask: additive [vocab] mask (orthography constraint,
             # models/orthography.py); all-zeros when unrestricted.
             masked = out["ctc_logits"] + ctc_mask[None, None, :]
-            ctc_ids = jnp.argmax(masked[..., :n_real_classes], axis=-1)
+            real = masked[..., :n_real_classes]
+            ctc_ids = jnp.argmax(real, axis=-1)
             lid_ids = jnp.argmax(out["lid_logits"], axis=-1)
             ret = {
                 "ctc_ids": ctc_ids.astype(jnp.int32),
@@ -196,6 +197,14 @@ class TranscriptionEngine:
                 "speaker_embed": out["speaker_embed"],
                 "mask": out["mask"],
             }
+            if cfg.decode.beam_size > 1:
+                # Prefix beam search runs on host (ops/beam.py) over the
+                # per-frame top-K classes; ship the compact [B,T',K] slices.
+                K = min(8, n_real_classes)
+                logp = jax.nn.log_softmax(real.astype(jnp.float32), axis=-1)
+                topk_lp, topk_ids = jax.lax.top_k(logp, K)
+                ret["ctc_topk_logp"] = topk_lp
+                ret["ctc_topk_ids"] = topk_ids.astype(jnp.int32)
             if self._translator is not None:
                 # Encoder states feed the translation decoder; only pulled
                 # to host when translation is enabled (12+ MB per batch).
@@ -332,6 +341,10 @@ class TranscriptionEngine:
             sub_mask = np.asarray(out["mask"])
             enc = (np.asarray(out["encoder_states"], dtype=np.float32)
                    if "encoder_states" in out else None)
+            tk_lp = (np.asarray(out["ctc_topk_logp"], dtype=np.float32)
+                     if "ctc_topk_logp" in out else None)
+            tk_id = (np.asarray(out["ctc_topk_ids"])
+                     if "ctc_topk_ids" in out else None)
             for k in range(len(batch)):
                 nf_sub = int(sub_mask[k].sum())
                 results.append({
@@ -342,6 +355,8 @@ class TranscriptionEngine:
                     "speaker_embed": spk[k, :nf_sub],
                     "encoder_states": (enc[k, :nf_sub]
                                        if enc is not None else None),
+                    "ctc_topk": ((tk_lp[k, :nf_sub], tk_id[k, :nf_sub])
+                                 if tk_lp is not None else None),
                 })
         return results
 
@@ -369,6 +384,13 @@ class TranscriptionEngine:
                 lid_frames = w["lid_ids"][f0:f1]
                 enc_span = (w["encoder_states"][f0:f1]
                             if w.get("encoder_states") is not None else None)
+                if w.get("ctc_topk") is not None:
+                    # Beam rescoring: prefix beam over the segment's frames
+                    # replaces the greedy text (timestamps/words stay from
+                    # the greedy alignment).
+                    text = self._beam_text(w["ctc_topk"], f0, f1)
+                    if text:
+                        s.text = text
                 decoded.append(s)
                 seg_meta.append((emo_mean, spk_mean, lid_frames, enc_span))
 
@@ -439,6 +461,25 @@ class TranscriptionEngine:
             segments=segments,
             detected_languages=all_languages if all_languages else None,
         )
+
+    def _beam_text(self, topk, f0: int, f1: int) -> Optional[str]:
+        """Prefix-beam rescoring of one segment from top-K frame scores."""
+        from .ops.beam import LOG_ZERO, ctc_prefix_beam_search
+
+        lp, ids = topk
+        T = f1 - f0
+        n_real = 1 + self.config.vocab.n_bytes
+        dense = np.full((T, n_real), LOG_ZERO, np.float32)
+        rows = np.arange(T)[:, None]
+        dense[rows, ids[f0:f1]] = lp[f0:f1]
+        beams = ctc_prefix_beam_search(
+            dense, beam_size=self.config.decode.beam_size,
+            blank_id=self.config.vocab.blank_id, topk=ids.shape[-1])
+        if not beams:
+            return None
+        byte_vals = [self.config.vocab.id_to_byte(c) for c in beams[0].prefix]
+        return bytes(b for b in byte_vals if 0 <= b < 256).decode(
+            "utf-8", errors="replace").strip()
 
     TRANSLATE_SPAN_FRAMES = 256   # ~10 s of encoder frames per segment
     TRANSLATE_MAX_BYTES = 128

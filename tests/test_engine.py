@@ -245,3 +245,25 @@ class TestStreaming:
         events = list(engine.transcribe_streaming(p))
         assert events[-1][0] == "final"
         assert events[-1][1].segments == []
+
+
+class TestBeamDecoding:
+    def test_beam_engine_contract(self, speech_wav):
+        import dataclasses
+
+        from omnilingual_asr_tpu.config import DecodeConfig
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        cfg = tiny_config().replace(decode=DecodeConfig(beam_size=4))
+        eng = TranscriptionEngine(config=cfg, batch_windows_per_device=1,
+                                  window_seconds=10.0)
+        res = eng.transcribe(speech_wav)
+        for seg in res.segments:
+            assert isinstance(seg.text, str)
+            assert seg.end > seg.start
+        # greedy engine on same audio: segment structure identical
+        eng_g = TranscriptionEngine(config=tiny_config(),
+                                    batch_windows_per_device=1,
+                                    window_seconds=10.0)
+        res_g = eng_g.transcribe(speech_wav)
+        assert len(res.segments) == len(res_g.segments)
