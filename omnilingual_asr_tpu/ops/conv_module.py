@@ -96,11 +96,18 @@ def fused_conv_module(x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
       dwln_scale[None, :], dwln_bias[None, :], pw2)
 
 
+def _dense_weight(leaf):
+    """Dense weight from a plain or W8A16-quantized leaf (ops/quant.py)."""
+    if "w_q" in leaf:
+        return leaf["w_q"].astype(jnp.float32) * leaf["w_scale"][None, :]
+    return leaf["w"]
+
+
 def convmod_apply_fused(p, x, mask, interpret: bool = False):
     """Drop-in for layers.convmod_apply using the fused kernel."""
     return fused_conv_module(
         x.astype(jnp.float32), mask,
         p["ln"]["scale"], p["ln"]["bias"],
-        p["pw1"]["w"], p["dw"],
+        _dense_weight(p["pw1"]), p["dw"],
         p["dw_ln"]["scale"], p["dw_ln"]["bias"],
-        p["pw2"]["w"], interpret=interpret)
+        _dense_weight(p["pw2"]), interpret=interpret)
