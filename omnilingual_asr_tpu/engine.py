@@ -184,6 +184,13 @@ class TranscriptionEngine:
             mask = frame_idx < n_valid_frames[:, None]  # [B, T]
             out = asr_forward(params, mel, mask, infer_cfg,
                               flash_interpret=flash_interpret)
+            # Per-subsampled-frame energy (dB proxy) for host-side VAD
+            # trimming (diarization/vad.py): logsumexp over mel bins, mean
+            # over the stacking group. Tiny: [B, T'] f32.
+            m = mel.astype(jnp.float32)
+            e = jax.nn.logsumexp(m, axis=-1) * (10.0 / jnp.log(10.0))
+            sub = infer_cfg.encoder.subsample_factor
+            e_sub = e.reshape(B, -1, sub).mean(axis=-1)
             # ctc_mask: additive [vocab] mask (orthography constraint,
             # models/orthography.py); all-zeros when unrestricted.
             masked = out["ctc_logits"] + ctc_mask[None, None, :]
@@ -195,6 +202,7 @@ class TranscriptionEngine:
                 "lid_ids": lid_ids.astype(jnp.int32),
                 "emotion_logits": out["emotion_logits"],
                 "speaker_embed": out["speaker_embed"],
+                "frame_energy": e_sub,
                 "mask": out["mask"],
             }
             if cfg.decode.beam_size > 1:
@@ -345,6 +353,7 @@ class TranscriptionEngine:
                      if "ctc_topk_logp" in out else None)
             tk_id = (np.asarray(out["ctc_topk_ids"])
                      if "ctc_topk_ids" in out else None)
+            energy = np.asarray(out["frame_energy"], dtype=np.float32)
             for k in range(len(batch)):
                 nf_sub = int(sub_mask[k].sum())
                 results.append({
@@ -353,6 +362,7 @@ class TranscriptionEngine:
                     "lid_ids": lid[k, :nf_sub],
                     "emotion_logits": emo[k, :nf_sub],
                     "speaker_embed": spk[k, :nf_sub],
+                    "frame_energy": energy[k, :nf_sub],
                     "encoder_states": (enc[k, :nf_sub]
                                        if enc is not None else None),
                     "ctc_topk": ((tk_lp[k, :nf_sub], tk_id[k, :nf_sub])
@@ -377,10 +387,21 @@ class TranscriptionEngine:
             segs = segments_from_alignment(
                 w["ctc_ids"], self.frame_dur_s, cfg.vocab, cfg.decode,
                 time_offset_s=w["offset_s"])
+            # Window noise floor for speech-weighted pooling (VAD row of
+            # SURVEY §2b): embeddings pooled over speech frames only.
+            energy = w.get("frame_energy")
+            floor = (np.percentile(energy, 10.0)
+                     if energy is not None and len(energy) else None)
             for s in segs:
                 f0, f1 = s.frame_start, s.frame_end
                 emo_mean = w["emotion_logits"][f0:f1].mean(axis=0)
-                spk_mean = w["speaker_embed"][f0:f1].mean(axis=0)
+                spk_span = w["speaker_embed"][f0:f1]
+                if floor is not None:
+                    speech = energy[f0:f1] > floor + 6.0
+                    spk_mean = (spk_span[speech].mean(axis=0)
+                                if speech.any() else spk_span.mean(axis=0))
+                else:
+                    spk_mean = spk_span.mean(axis=0)
                 lid_frames = w["lid_ids"][f0:f1]
                 enc_span = (w["encoder_states"][f0:f1]
                             if w.get("encoder_states") is not None else None)
