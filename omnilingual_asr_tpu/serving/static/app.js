@@ -296,7 +296,10 @@ function renderTranscript() {
       (seg.language_code ? `<span class="tag">${seg.language_code}</span>` : "") +
       (seg.emotion && seg.emotion !== "neutral"
         ? `<span class="tag emo">${seg.emotion}</span>` : "");
-    head.querySelector(".time").onclick = () => seek(seg.start);
+    head.querySelector(".time").onclick = (e) => {
+      if (e.altKey) editTimestamps(si); else seek(seg.start);
+    };
+    head.querySelector(".time").title = "click: seek · alt-click: edit times";
     // click speaker name -> rename across all segments (reference
     // renameSpeaker workflow)
     head.querySelector(".speaker").onclick = () => renameSpeaker(seg.speaker);
@@ -340,6 +343,7 @@ function editSegment(si, body) {
   input.className = "edit-box";
   body.replaceWith(input);
   input.focus();
+  showIpaPicker(input);
   const save = async () => {
     seg.text = input.value;
     if (seg.words) delete seg.words;  // word alignment invalidated by edit
@@ -373,6 +377,60 @@ async function renameSpeaker(oldName) {
   }
   await saveSegments();
   render();
+}
+
+// timestamp editor: click the time range with alt/option to adjust
+async function editTimestamps(si) {
+  const seg = activeData.segments[si];
+  const raw = prompt("Edit timestamps (start-end seconds):",
+                     `${seg.start.toFixed(2)}-${seg.end.toFixed(2)}`);
+  if (!raw) return;
+  const m = raw.match(/^\s*([\d.]+)\s*[-–]\s*([\d.]+)\s*$/);
+  if (!m) return;
+  const start = parseFloat(m[1]), end = parseFloat(m[2]);
+  if (!(end > start)) return;
+  seg.start = start;
+  seg.end = end;
+  await saveSegments();
+  render();
+}
+
+// IPA character picker (reference index.html:493): inserts into the
+// active inline editor
+const IPA_CHARS = [
+  "ɐ","ɑ","ɒ","æ","ə","ɛ","ɜ","ɪ","ɨ","ɔ","ø","ɵ","œ","ʉ","ʊ","ʌ","ː",
+  "ˈ","ˌ","ʔ","ʕ","β","ç","ð","ɸ","ɣ","ɥ","ɧ","ʝ","ɫ","ɬ","ɭ","ʟ","ɱ",
+  "ŋ","ɲ","ɳ","ɾ","ʀ","ʁ","ɹ","ɻ","ʃ","ʂ","θ","ʈ","ʋ","ʍ","χ","ʎ","ʒ",
+  "ʐ","ʑ","ʘ","ǀ","ǁ","ǂ","ǃ","ɓ","ɗ","ɠ","ʛ","ẽ","ã","õ","ĩ","ũ","̃",
+];
+
+function showIpaPicker(target) {
+  let panel = $("#ipa-panel");
+  if (!panel) {
+    panel = document.createElement("div");
+    panel.id = "ipa-panel";
+    for (const ch of IPA_CHARS) {
+      const b = document.createElement("button");
+      b.type = "button";
+      b.textContent = ch;
+      b.onmousedown = (e) => {
+        e.preventDefault();  // keep the textarea focused
+        const start = target.selectionStart;
+        target.value = target.value.slice(0, start) + ch +
+          target.value.slice(target.selectionEnd);
+        target.selectionStart = target.selectionEnd = start + ch.length;
+      };
+      panel.appendChild(b);
+    }
+    document.body.appendChild(panel);
+  }
+  const r = target.getBoundingClientRect();
+  panel.style.left = `${r.left + window.scrollX}px`;
+  panel.style.top = `${r.bottom + window.scrollY + 4}px`;
+  panel.hidden = false;
+  const hide = () => { panel.hidden = true; };
+  target.addEventListener("blur", () => setTimeout(hide, 200),
+                          { once: true });
 }
 
 // context menu: emotion / rename / delete (reference ctx-menu workflow)
