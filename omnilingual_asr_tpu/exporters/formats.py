@@ -57,7 +57,14 @@ _EAF_ANNOTATION = """            <ANNOTATION>
             </ANNOTATION>"""
 
 
-def build_eaf(data: dict, date: Optional[str] = None) -> str:
+def build_eaf(data: dict, date: Optional[str] = None,
+              include_words: bool = False) -> str:
+    """include_words: also emit per-speaker `{speaker}_words` tiers with a
+    `word` LINGUISTIC_TYPE — the shape of the repo's bundled golden exports
+    (reference gettysburg.eaf: TIER_ID="SPEAKER_00_words",
+    LINGUISTIC_TYPE_REF="word"), which the current reference SPA can no
+    longer produce (Gemini returns no word timestamps; our CTC alignment
+    does). Default False keeps byte-parity with the SPA's buildEAF."""
     segments = data.get("segments", [])
     ts_id = 1
     ann_id = 1
@@ -66,6 +73,7 @@ def build_eaf(data: dict, date: Optional[str] = None) -> str:
     language_anns: List[dict] = []
     emotion_anns: List[dict] = []
     translation_anns: List[dict] = []
+    word_anns: List[dict] = []
     speakers: List[str] = []  # insertion-ordered unique (JS Set semantics)
 
     has_language = any(s.get("language") for s in segments)
@@ -100,6 +108,16 @@ def build_eaf(data: dict, date: Optional[str] = None) -> str:
                 tier=f"{sp}_translation", ts1=ts1, ts2=ts2,
                 value=seg["translation"], id=f"a{ann_id}"))
             ann_id += 1
+        if include_words:
+            for w in seg.get("words") or []:
+                wts1, wts2 = f"ts{ts_id}", f"ts{ts_id + 1}"
+                ts_id += 2
+                time_slots.append((wts1, _js_round(w["start"] * 1000)))
+                time_slots.append((wts2, _js_round(w["end"] * 1000)))
+                word_anns.append(dict(tier=f"{sp}_words", ts1=wts1,
+                                      ts2=wts2, value=w["word"],
+                                      id=f"a{ann_id}"))
+                ann_id += 1
 
     ts_xml = "\n".join(
         f'        <TIME_SLOT TIME_SLOT_ID="{tid}" TIME_VALUE="{t}"/>'
@@ -133,6 +151,12 @@ def build_eaf(data: dict, date: Optional[str] = None) -> str:
         blocks = [tier_block(translation_anns, f"{sp}_translation",
                              "translation", False) for sp in speakers]
         additional += "\n".join(b for b in blocks if b)
+    if include_words and word_anns:
+        blocks = [tier_block(word_anns, f"{sp}_words", "word", False)
+                  for sp in speakers]
+        joined = "\n".join(b for b in blocks if b)
+        additional = (additional + "\n" + joined) if additional.strip() \
+            else joined
 
     ltypes = '    <LINGUISTIC_TYPE LINGUISTIC_TYPE_ID="transcription" TIME_ALIGNABLE="true"/>'
     if has_language:
@@ -141,6 +165,8 @@ def build_eaf(data: dict, date: Optional[str] = None) -> str:
         ltypes += '\n    <LINGUISTIC_TYPE LINGUISTIC_TYPE_ID="emotion" TIME_ALIGNABLE="true"/>'
     if has_translation:
         ltypes += '\n    <LINGUISTIC_TYPE LINGUISTIC_TYPE_ID="translation" TIME_ALIGNABLE="true"/>'
+    if include_words and word_anns:
+        ltypes += '\n    <LINGUISTIC_TYPE LINGUISTIC_TYPE_ID="word" TIME_ALIGNABLE="true"/>'
 
     if date is None:
         date = _iso_now()

@@ -480,8 +480,11 @@ class OmniServer:
             if entry is None:
                 raise HTTPError(404, "History entry not found.")
             fmt = req.query.get("format", "json").lower()
+            kw = {}
+            if fmt == "eaf" and req.query.get("words"):
+                kw["include_words"] = True  # golden-style word tiers
             try:
-                content = export_transcript(entry, fmt)
+                content = export_transcript(entry, fmt, **kw)
             except ValueError as e:
                 raise HTTPError(400, str(e)) from None
             ctypes_map = {"eaf": "application/xml",

@@ -184,3 +184,36 @@ class TestGoldens:
 
     def test_json_golden(self):
         assert build_json(DATA) == self._golden("demo.json")
+
+
+class TestEAFWordTiers:
+    """Golden-artifact shape: the bundled gettysburg.eaf has
+    {speaker}_words tiers with a 'word' LINGUISTIC_TYPE — producible here
+    because the CTC alignment yields real word timestamps."""
+
+    DATA_WORDS = {
+        "file_name": "w.wav", "audio_url": "",
+        "segments": [
+            {"start": 0.0, "end": 2.0, "speaker": "SPEAKER_00",
+             "text": "hello world", "language": None, "emotion": None,
+             "translation": None,
+             "words": [{"word": "hello", "start": 0.1, "end": 0.8},
+                       {"word": "world", "start": 0.9, "end": 1.9}]},
+        ],
+    }
+
+    def test_word_tiers_emitted(self):
+        eaf = build_eaf(self.DATA_WORDS, date="x", include_words=True)
+        assert 'TIER_ID="SPEAKER_00_words"' in eaf
+        assert 'LINGUISTIC_TYPE_REF="word"' in eaf
+        assert 'LINGUISTIC_TYPE_ID="word" TIME_ALIGNABLE="true"' in eaf
+        assert "<ANNOTATION_VALUE>hello</ANNOTATION_VALUE>" in eaf
+        # word time slots in ms
+        assert 'TIME_VALUE="100"' in eaf and 'TIME_VALUE="1900"' in eaf
+        import xml.etree.ElementTree as ET
+
+        ET.fromstring(eaf)  # well-formed
+
+    def test_default_excludes_word_tiers(self):
+        eaf = build_eaf(self.DATA_WORDS, date="x")
+        assert "_words" not in eaf
