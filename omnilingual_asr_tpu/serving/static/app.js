@@ -615,6 +615,45 @@ async function drawSpectrogram() {
       }
     }
     ctx.putImageData(img, 0, 0);
+
+    // Formant overlay (F1-F3): smoothed-spectrum peak picking per column
+    // in 200-4000 Hz, Okabe-Ito colors.
+    const sr = decoded.sampleRate;
+    const binHz = sr / NFFT;
+    const loBin = Math.max(1, Math.floor(200 / binHz));
+    const hiBin = Math.min(NFFT / 2 - 2, Math.ceil(4000 / binHz));
+    const F_COLORS = ["#E69F00", "#56B4E9", "#009E73"];
+    for (let x = 0; x < cols; x += 2) {
+      const re = new Float32Array(NFFT), im = new Float32Array(NFFT);
+      const off = x * hop;
+      let energy = 0;
+      for (let i = 0; i < NFFT; i++) {
+        re[i] = (data[off + i] || 0) * win[i];
+        energy += re[i] * re[i];
+      }
+      if (energy < 1e-4) continue; // silence: no formants
+      fftRadix2(re, im);
+      const mag = new Float32Array(hiBin + 2);
+      for (let b_ = loBin - 1; b_ <= hiBin + 1; b_++) {
+        mag[b_] = Math.sqrt(re[b_] * re[b_] + im[b_] * im[b_]);
+      }
+      // 5-bin moving average smoothing, then local maxima
+      const peaks = [];
+      for (let b_ = loBin + 2; b_ <= hiBin - 2 && peaks.length < 3; b_++) {
+        const sm = (bb) => (mag[bb - 1] + mag[bb] + mag[bb + 1]) / 3;
+        if (sm(b_) > sm(b_ - 1) && sm(b_) > sm(b_ + 1) &&
+            sm(b_) > 0.05 * Math.max(...mag)) {
+          peaks.push(b_);
+          b_ += 2; // skip adjacent bins of the same peak
+        }
+      }
+      peaks.forEach((bin, fi) => {
+        const y = Math.round((1 - bin / (NFFT / 2)) * H);
+        ctx.fillStyle = F_COLORS[fi];
+        ctx.fillRect(x, y, 2, 2);
+      });
+    }
+
     canvas.onclick = (e) => {
       seek((e.offsetX / canvas.clientWidth) * decoded.duration);
     };
