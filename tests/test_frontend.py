@@ -201,3 +201,22 @@ class TestWavRobustness:
         buf += b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
         x, sr = decode_wav_bytes(buf)
         assert len(x) == 2
+
+
+class TestAiff:
+    def test_aiff_roundtrip(self, tmp_path, rng):
+        import aifc
+
+        sr = 8000
+        x = (rng.standard_normal(sr) * 8000).astype(">i2")
+        p = tmp_path / "t.aiff"
+        with aifc.open(str(p), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(x.tobytes())
+        y, got_sr = decode_audio(p)
+        assert got_sr == sr
+        np.testing.assert_allclose(y, x.astype(np.float32) / 32768.0,
+                                   atol=1e-4)
+        assert abs(get_audio_duration(p) - 1.0) < 0.01

@@ -185,3 +185,21 @@ class TestRemat:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-3)
+
+
+class TestTrainCLIFunction:
+    def test_train_runs_and_saves_checkpoint(self, manifest, tmp_path):
+        from omnilingual_asr_tpu.train.cli import train
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=1))
+        ckpt = tmp_path / "cli_ckpt"
+        params = train(str(manifest), steps=2, batch_size=2, cfg=cfg,
+                       window_seconds=1.0, ckpt=str(ckpt), log_every=1)
+        assert params is not None
+        assert ckpt.exists()
+        # checkpoint loads back into the inference engine
+        from omnilingual_asr_tpu.models.zoo import load_checkpoint
+
+        restored = load_checkpoint(ckpt, cfg)
+        assert jax.tree.structure(restored) == jax.tree.structure(
+            jax.device_get(params))
