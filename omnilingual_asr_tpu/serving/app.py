@@ -27,7 +27,6 @@ import queue
 import threading
 import uuid
 import zipfile
-from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -100,7 +99,6 @@ class OmniServer:
         self.router = Router()
         self._register_routes()
         self.app = AppServer(self.router, middleware=self._auth_middleware)
-        self._pool = ThreadPoolExecutor(max_workers=MAX_PARALLEL_FILES)
 
     # ------------------------------------------------------------------
 
