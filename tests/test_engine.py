@@ -267,3 +267,14 @@ class TestBeamDecoding:
                                     window_seconds=10.0)
         res_g = eng_g.transcribe(speech_wav)
         assert len(res.segments) == len(res_g.segments)
+
+
+class TestFacadeWordToggle:
+    def test_words_omitted_without_flag(self, speech_wav):
+        from omnilingual_asr import GeminiDiarizedTranscriptionPipeline
+
+        pipe = GeminiDiarizedTranscriptionPipeline(
+            config=tiny_config(), batch_windows_per_device=1,
+            window_seconds=10.0)
+        segs = pipe.transcribe(str(speech_wav))  # word_timestamps=False
+        assert all(s.words is None for s in segs)

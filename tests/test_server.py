@@ -382,3 +382,22 @@ class TestAudioBlobs:
         # entry carries the audio_key after reload
         _, got = server.request("GET", f"/api/history/{entry['id']}")
         assert got.get("audio_key", "").startswith("audio/")
+
+
+class TestSchemaEdges:
+    def test_result_to_entry_without_optional_fields(self):
+        from omnilingual_asr_tpu.serving.schema import result_to_entry
+        from omnilingual_asr_tpu.types import TranscriptSegment, TranscriptionResult
+
+        res = TranscriptionResult(
+            summary=None,
+            segments=[TranscriptSegment(start=0, end=1, speaker="Speaker 1",
+                                        text="x")],
+            detected_languages=None)
+        entry = result_to_entry(res, file_name="f.wav", audio_url="/u")
+        # optional keys absent when falsy (reference app.py hasattr probing)
+        assert "summary" not in entry
+        assert "detected_languages" not in entry
+        seg = entry["segments"][0]
+        assert "language" not in seg and "translation" not in seg
+        assert seg["words"] == []
