@@ -401,3 +401,43 @@ class TestSchemaEdges:
         seg = entry["segments"][0]
         assert "language" not in seg and "translation" not in seg
         assert seg["words"] == []
+
+
+class TestConcurrency:
+    def test_parallel_sse_requests(self, tmp_path_factory):
+        """Two simultaneous SSE transcriptions must not interleave state
+        (the reference had a singleton race here, SURVEY §5 race row)."""
+        import threading
+
+        from omnilingual_asr_tpu.serving.app import OmniServer
+        from omnilingual_asr_tpu.testing import FakeEngine
+
+        srv = OmniServer(engine=FakeEngine(delay_s=0.3),
+                         base_dir=tmp_path_factory.mktemp("conc"),
+                         auth_required=False)
+        port = srv.serve_background()
+        client = Client(port)
+        results = {}
+
+        def run(name):
+            body, ctype = multipart({}, [("file", f"{name}.wav",
+                                          make_wav_bytes())])
+            status, events = client.sse("POST", "/api/transcribe-stream",
+                                        body, ctype)
+            results[name] = (status, events)
+
+        threads = [threading.Thread(target=run, args=(n,))
+                   for n in ("a", "b", "c")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        srv.shutdown()
+        assert set(results) == {"a", "b", "c"}
+        for name, (status, events) in results.items():
+            assert status == 200
+            final = events[-1][1]
+            assert final["file_name"] == f"{name}.wav"
+            # per-request progress events carry only this request's file
+            for e, d in events[:-1]:
+                assert d["file_name"] == f"{name}.wav"
