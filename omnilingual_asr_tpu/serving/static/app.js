@@ -654,6 +654,25 @@ async function drawSpectrogram() {
       });
     }
 
+    // Intensity curve: per-column RMS in dB drawn over the spectrogram.
+    ctx.strokeStyle = "rgba(255,255,255,0.85)";
+    ctx.lineWidth = 1.5;
+    ctx.beginPath();
+    let started = false;
+    for (let x = 0; x < cols; x++) {
+      const off = x * hop;
+      let sum = 0;
+      for (let i = 0; i < NFFT; i++) {
+        const s = data[off + i] || 0;
+        sum += s * s;
+      }
+      const db = 10 * Math.log10(sum / NFFT + 1e-12);
+      const v = Math.min(1, Math.max(0, (db + DYN) / DYN));
+      const y = H - 4 - v * (H - 8);
+      if (started) ctx.lineTo(x, y); else { ctx.moveTo(x, y); started = true; }
+    }
+    ctx.stroke();
+
     canvas.onclick = (e) => {
       seek((e.offsetX / canvas.clientWidth) * decoded.duration);
     };
