@@ -232,10 +232,13 @@ def _mp3_duration_estimate(path: Path) -> float:
             mpeg1 = version == 3
             bitrate = (_MP3_BITRATES_V1L3 if mpeg1 else _MP3_BITRATES_V2L3)[br_idx] * 1000
             samples_per_frame = 1152 if mpeg1 else 576
-            # Xing header (VBR): frame count at a version/mode-dependent offset
+            # Xing/Info header: frame count at a version/mode-dependent
+            # offset (side-info size: MPEG1 32 B stereo / 17 B mono;
+            # MPEG2 17 B stereo / 9 B mono).
             h3 = data[pos + 3]
             mode = (h3 >> 6) & 0x3
-            side_len = (17 if mode != 3 else 9) if mpeg1 else (9 if mode != 3 else 17)
+            side_len = (32 if mode != 3 else 17) if mpeg1 else \
+                (17 if mode != 3 else 9)
             xing_off = pos + 4 + side_len
             if data[xing_off:xing_off + 4] in (b"Xing", b"Info"):
                 flags = struct.unpack_from(">I", data, xing_off + 4)[0]
