@@ -590,8 +590,12 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--auth", action="store_true",
                     help="require JWT auth on /api routes")
+    ap.add_argument("--memory", action="store_true",
+                    help="in-memory history (the reference local server's "
+                         "semantics, app.py:39-40) instead of SQLite")
     args = ap.parse_args()
-    srv = OmniServer(base_dir=args.data_dir, auth_required=args.auth)
+    srv = OmniServer(base_dir=args.data_dir, auth_required=args.auth,
+                     use_sqlite=not args.memory)
     print(f"OmniScribe TPU serving on http://{args.host}:{args.port}")
     srv.serve(args.host, args.port)
 

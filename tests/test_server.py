@@ -441,3 +441,22 @@ class TestConcurrency:
             # per-request progress events carry only this request's file
             for e, d in events[:-1]:
                 assert d["file_name"] == f"{name}.wav"
+
+
+class TestMemoryMode:
+    def test_memory_history_server(self, tmp_path_factory):
+        """In-memory mode: reference local-server semantics (entries die
+        with the process, audio route unavailable)."""
+        srv = OmniServer(engine=FakeEngine(),
+                         base_dir=tmp_path_factory.mktemp("mem"),
+                         auth_required=False, use_sqlite=False)
+        port = srv.serve_background()
+        c = Client(port)
+        body, ctype = multipart({}, [("file", "m.wav", make_wav_bytes())])
+        status, entry = c.request("POST", "/api/transcribe", body, ctype)
+        assert status == 200
+        status, items = c.request("GET", "/api/history")
+        assert status == 200 and items[0]["id"] == entry["id"]
+        status, _ = c.request("GET", f"/api/audio/{entry['id']}")
+        assert status == 404  # no blob store in memory mode
+        srv.shutdown()
