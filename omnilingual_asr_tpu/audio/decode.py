@@ -108,25 +108,83 @@ def decode_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(x, dtype=np.float32), sample_rate
 
 
-def _decode_aiff(path: Path) -> Tuple[np.ndarray, int]:
-    import aifc
+def _read_extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (big-endian) — AIFF sampleRate field."""
+    if len(b) < 10:
+        raise ValueError("truncated extended float")
+    (exp_sign,) = struct.unpack_from(">H", b, 0)
+    (mant,) = struct.unpack_from(">Q", b, 2)
+    sign = -1.0 if exp_sign & 0x8000 else 1.0
+    exponent = exp_sign & 0x7FFF
+    if exponent == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exponent - 16383 - 63)
 
-    with aifc.open(str(path), "rb") as f:
-        sr = f.getframerate()
-        channels = f.getnchannels()
-        width = f.getsampwidth()
-        raw = f.readframes(f.getnframes())
+
+def _parse_aiff_header(data: bytes):
+    """Parse AIFF/AIFC chunks. Returns (channels, n_frames, bits, sr,
+    compression, ssnd_data_offset).
+
+    Direct big-endian IFF parse — the stdlib `aifc` module was removed in
+    Python 3.13 (ADVICE r1).
+    """
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC file")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from(">I", data, pos + 4)
+        body = pos + 8
+        if cid == b"COMM":
+            channels, n_frames, bits = struct.unpack_from(">HIH", data, body)
+            sr = _read_extended80(data[body + 8:body + 18])
+            compression = data[body + 18:body + 22] if size > 18 else b"NONE"
+            comm = (channels, n_frames, bits, sr, compression)
+        elif cid == b"SSND":
+            (offset,) = struct.unpack_from(">I", data, body)
+            ssnd = body + 8 + offset
+        pos = body + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    return (*comm, ssnd)
+
+
+def _decode_aiff(path: Path) -> Tuple[np.ndarray, int]:
+    data = path.read_bytes()
+    channels, n_frames, bits, sr, compression, off = _parse_aiff_header(data)
+    if compression not in (b"NONE", b"sowt"):
+        raise ValueError(f"unsupported AIFC compression: {compression!r}")
+    le = compression == b"sowt"  # AIFC little-endian PCM variant
+    width = (bits + 7) // 8
+    raw = data[off:off + n_frames * channels * width]
     if width == 2:
-        x = np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+        x = np.frombuffer(raw, dtype="<i2" if le else ">i2").astype(np.float32) / 32768.0
     elif width == 1:
         x = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+        if le:
+            b = b[:, ::-1]
+        vals = (
+            (b[:, 0].astype(np.int32) << 16)
+            | (b[:, 1].astype(np.int32) << 8)
+            | b[:, 2].astype(np.int32)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        x = vals.astype(np.float32) / float(1 << 23)
     elif width == 4:
-        x = np.frombuffer(raw, dtype=">i4").astype(np.float32) / float(1 << 31)
+        x = np.frombuffer(raw, dtype="<i4" if le else ">i4").astype(np.float32) / float(1 << 31)
     else:
         raise ValueError(f"unsupported AIFF sample width: {width}")
     if channels > 1:
         x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
-    return np.ascontiguousarray(x, dtype=np.float32), sr
+    sr_int = int(round(sr))
+    if sr_int <= 0:
+        raise ValueError("invalid AIFF sample rate")
+    return np.ascontiguousarray(x, dtype=np.float32), sr_int
 
 
 # ---------------------------------------------------------------------------
@@ -178,10 +236,8 @@ def get_audio_duration(audio_path: str | Path) -> float:
             bytes_per_frame = max(1, channels * (bits // 8))
             return size / bytes_per_frame / float(sample_rate)
         if ext in (".aiff", ".aif"):
-            import aifc
-
-            with aifc.open(str(path), "rb") as f:
-                return f.getnframes() / float(f.getframerate())
+            _, n_frames, _, sr, _, _ = _parse_aiff_header(path.read_bytes())
+            return n_frames / float(sr)
         if ext == ".mp3":
             return _mp3_duration_estimate(path)
         # Unknown container: decode fully as a last resort.

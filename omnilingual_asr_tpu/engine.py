@@ -22,6 +22,7 @@ Execution model (TPU-first):
 
 from __future__ import annotations
 
+import math
 import time
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -113,7 +114,7 @@ class TranscriptionEngine:
         self.window_samples = int(window_seconds * fe.sample_rate)
         n_frames = fe.frames_for_samples(self.window_samples)
         self.window_frames = _round_up(
-            n_frames, max(BLOCK_T, cfg.encoder.subsample_factor))
+            n_frames, math.lcm(BLOCK_T, cfg.encoder.subsample_factor))
         self.valid_frames = n_frames
         self.frame_dur_s = fe.hop_length * cfg.encoder.subsample_factor / fe.sample_rate
         self.hop_dur_s = fe.hop_length / fe.sample_rate

@@ -42,8 +42,9 @@ def _valid_translation(seg: dict) -> bool:
 
 def _iso_now() -> str:
     """JS new Date().toISOString() shape: millisecond precision, Z suffix."""
-    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.") + \
-        f"{datetime.now(timezone.utc).microsecond // 1000:03d}Z"
+    now = datetime.now(timezone.utc)
+    return now.strftime("%Y-%m-%dT%H:%M:%S.") + \
+        f"{now.microsecond // 1000:03d}Z"
 
 
 # ---------------------------------------------------------------------------

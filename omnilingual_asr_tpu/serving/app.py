@@ -50,6 +50,21 @@ MAX_PARALLEL_FILES = 4  # reference app.py:384-385
 PUBLIC_PATHS = {"/api/auth/register", "/api/auth/login"}  # _middleware.js:4-7
 
 
+def _accepts_kwarg(fn, name: str) -> bool:
+    """True if fn accepts keyword `name` (explicitly or via **kwargs)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return True
+    params = sig.parameters
+    if name in params:
+        return True
+    return any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in params.values())
+
+
 def _is_audio_file(path: Path) -> bool:
     return path.suffix.lower() in AUDIO_EXTS
 
@@ -154,17 +169,13 @@ class OmniServer:
                              progress_cb=None) -> Dict[str, Any]:
         kwargs = dict(progress_callback=progress_cb, language=language,
                       speaker_count=speaker_count)
-        if orthography:
+        engine = self.engine()
+        if orthography and _accepts_kwarg(engine.transcribe_with_retry,
+                                          "orthography"):
             # engine extension of the serverless-only hint; fake/test
             # engines may not accept it
             kwargs["orthography"] = orthography
-        try:
-            result = self.engine().transcribe_with_retry(str(audio_path),
-                                                         **kwargs)
-        except TypeError:
-            kwargs.pop("orthography", None)
-            result = self.engine().transcribe_with_retry(str(audio_path),
-                                                         **kwargs)
+        result = engine.transcribe_with_retry(str(audio_path), **kwargs)
         entry = result_to_entry(result, file_name=display_name,
                                 audio_url=audio_url)
         return entry
@@ -447,7 +458,11 @@ class OmniServer:
 
         @r.route("DELETE", "/api/history/{history_id}")
         def delete_history(req: Request) -> Response:
-            self.history.delete(req.path_params["history_id"], self._user(req))
+            ok = self.history.delete(req.path_params["history_id"],
+                                     self._user(req))
+            if not ok:
+                # reference history/[id].js:53-58 — user-scoped miss is 404
+                return JSONResponse({"error": "Not found"}, 404)
             return JSONResponse({"ok": True})
 
         @r.route("GET", "/api/demo")
@@ -564,7 +579,7 @@ class OmniServer:
 
     def _serve_file(self, root: Path, rel: str) -> Response:
         target = (root / rel).resolve()
-        if not str(target).startswith(str(root.resolve())) or not target.is_file():
+        if not target.is_relative_to(root.resolve()) or not target.is_file():
             raise HTTPError(404, "Not Found")
         ctype = mimetypes.guess_type(str(target))[0] or "application/octet-stream"
         return Response(target.read_bytes(), 200, ctype)

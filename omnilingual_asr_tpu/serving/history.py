@@ -242,8 +242,17 @@ class SqliteHistory:
                 q += " AND user_id = ?"
                 args = (history_id, user_id)
             cur = self._conn.execute(q, args)
-            self._conn.execute(
-                "DELETE FROM segments WHERE transcript_id = ?", (history_id,))
+            if cur.rowcount > 0:
+                # Only cascade when the (user-scoped) transcript delete hit:
+                # otherwise an authenticated user could wipe another user's
+                # segments. sqlite3 ships with foreign_keys off, so the
+                # schema's ON DELETE CASCADE never fires on its own.
+                self._conn.execute(
+                    "DELETE FROM segments WHERE transcript_id = ?",
+                    (history_id,))
+                self._conn.execute(
+                    "DELETE FROM edits WHERE transcript_id = ?",
+                    (history_id,))
             self._conn.commit()
             return cur.rowcount > 0
 

@@ -203,20 +203,90 @@ class TestWavRobustness:
         assert len(x) == 2
 
 
+def make_aiff_bytes(frames: bytes, sr: int, channels: int = 1,
+                    bits: int = 16, compression: bytes = b"") -> bytes:
+    """Hand-build an AIFF/AIFC file (no aifc — removed in Python 3.13)."""
+    import struct as st
+
+    width = (bits + 7) // 8
+    n_frames = len(frames) // (channels * width)
+    # 80-bit extended float for sample rate
+    exp = 16383 + 63
+    mant = sr
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    sr80 = st.pack(">HQ", exp, mant)
+    comm = st.pack(">HIH", channels, n_frames, bits) + sr80 + compression
+    ssnd = st.pack(">II", 0, 0) + frames
+    body = b""
+    form_type = b"AIFC" if compression else b"AIFF"
+    if compression:
+        body += b"FVER" + st.pack(">I", 4) + st.pack(">I", 0xA2805140)
+    for cid, chunk in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + st.pack(">I", len(chunk)) + chunk
+        if len(chunk) & 1:
+            body += b"\x00"
+    return b"FORM" + st.pack(">I", 4 + len(body)) + form_type + body
+
+
 class TestAiff:
     def test_aiff_roundtrip(self, tmp_path, rng):
-        import aifc
-
         sr = 8000
         x = (rng.standard_normal(sr) * 8000).astype(">i2")
         p = tmp_path / "t.aiff"
-        with aifc.open(str(p), "wb") as f:
-            f.setnchannels(1)
-            f.setsampwidth(2)
-            f.setframerate(sr)
-            f.writeframes(x.tobytes())
+        p.write_bytes(make_aiff_bytes(x.tobytes(), sr))
         y, got_sr = decode_audio(p)
         assert got_sr == sr
         np.testing.assert_allclose(y, x.astype(np.float32) / 32768.0,
                                    atol=1e-4)
         assert abs(get_audio_duration(p) - 1.0) < 0.01
+
+    def test_aifc_sowt_little_endian(self, tmp_path, rng):
+        sr = 16000
+        x = (rng.standard_normal(400) * 8000).astype("<i2")
+        p = tmp_path / "t.aiff"
+        p.write_bytes(make_aiff_bytes(
+            x.tobytes(), sr, compression=b"sowt" + b"\x00"))
+        y, got_sr = decode_audio(p)
+        assert got_sr == sr
+        np.testing.assert_allclose(y, x.astype(np.float32) / 32768.0,
+                                   atol=1e-4)
+
+    def test_aiff_stereo_downmix(self, tmp_path):
+        sr = 8000
+        left = np.full(100, 1000, dtype=">i2")
+        right = np.full(100, 3000, dtype=">i2")
+        inter = np.empty(200, dtype=">i2")
+        inter[0::2] = left
+        inter[1::2] = right
+        p = tmp_path / "s.aiff"
+        p.write_bytes(make_aiff_bytes(inter.tobytes(), sr, channels=2))
+        y, got_sr = decode_audio(p)
+        assert got_sr == sr and len(y) == 100
+        # pure-Python path downmixes by mean; the libav path uses the
+        # -3 dB convention (L+R)/sqrt(2). Accept either.
+        mean_mix = 2000.0 / 32768.0
+        db3_mix = 4000.0 / np.sqrt(2.0) / 32768.0
+        const = float(np.mean(y))
+        assert np.allclose(y, const, atol=1e-4)
+        assert (abs(const - mean_mix) < 1e-3 or abs(const - db3_mix) < 1e-3)
+
+    def test_aiff_duration_header_only(self, tmp_path, rng):
+        sr = 8000
+        x = (rng.standard_normal(sr * 2) * 100).astype(">i2")
+        p = tmp_path / "d.aiff"
+        p.write_bytes(make_aiff_bytes(x.tobytes(), sr))
+        assert abs(get_audio_duration(p) - 2.0) < 0.01
+
+    def test_unsupported_compression(self, tmp_path):
+        p = tmp_path / "c.aiff"
+        p.write_bytes(make_aiff_bytes(b"\x00\x00" * 10, 8000,
+                                      compression=b"ulaw"))
+        import pytest as _pytest
+        from omnilingual_asr_tpu.audio import native_lib
+
+        if native_lib.native_available():
+            _pytest.skip("native decoder handles compressed AIFC")
+        with _pytest.raises(ValueError):
+            decode_audio(p)

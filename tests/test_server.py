@@ -291,6 +291,34 @@ class TestAuth:
         status, _ = ca.request("GET", f"/api/history/{entry['id']}")
         assert status == 200
 
+    def test_cross_user_delete_keeps_segments(self, auth_server):
+        # ADVICE r1 (high): user B's DELETE on user A's transcript must not
+        # wipe A's segments even though the transcript row is user-scoped.
+        _, a = auth_server.request(
+            "POST", "/api/auth/register",
+            json.dumps({"access_code": "sesquip", "email": "da@s.co",
+                        "password": "longenough"}), "application/json")
+        _, b = auth_server.request(
+            "POST", "/api/auth/register",
+            json.dumps({"access_code": "sesquip", "email": "db@s.co",
+                        "password": "longenough"}), "application/json")
+        ca = Client(auth_server.port, token=a["token"])
+        cb = Client(auth_server.port, token=b["token"])
+        body, ctype = multipart({}, [("file", "mine.wav", make_wav_bytes())])
+        _, entry = ca.request("POST", "/api/transcribe", body, ctype)
+        n_segs = len(entry["segments"])
+        assert n_segs > 0
+        status, _ = cb.request("DELETE", f"/api/history/{entry['id']}")
+        assert status == 404
+        status, mine = ca.request("GET", f"/api/history/{entry['id']}")
+        assert status == 200
+        assert len(mine["segments"]) == n_segs
+        # owner's delete still cascades
+        status, _ = ca.request("DELETE", f"/api/history/{entry['id']}")
+        assert status == 200
+        status, _ = ca.request("GET", f"/api/history/{entry['id']}")
+        assert status == 404
+
 
 class TestAuthPrimitives:
     def test_password_roundtrip(self):
