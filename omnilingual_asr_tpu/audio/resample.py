@@ -47,13 +47,22 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     delay_up = (num_taps - 1) // 2
     n_out = int(np.ceil((len(x) * L + delay_up) / M)) + 1
     # Output sample t sits at upsampled index t*M = q*L + p.
-    t = np.arange(n_out, dtype=np.int64)
-    q = (t * M) // L
-    p = (t * M) % L
     # y[t] = sum_k phases[p, k] * x[q - k]  (with the K-sample left pad, index
-    # into xpad at q + K - k).
-    idx = (q[:, None] + K) - np.arange(K)[None, :]
-    y = np.einsum("tk,tk->t", phases[p], xpad[idx])
+    # into xpad at q + K - k). Process in blocks: the [block, K] gather matrix
+    # would otherwise be O(n_out * K) floats — 1.6 GB for a 3-minute 44.1 kHz
+    # file — so bound it at ~64 MB.
+    phases32 = phases.astype(np.float32)
+    xpad32 = xpad.astype(np.float32)
+    karr = np.arange(K)
+    block = max(1, (1 << 24) // max(K, 1))
+    y = np.empty(n_out, dtype=np.float32)
+    for b0 in range(0, n_out, block):
+        t = np.arange(b0, min(b0 + block, n_out), dtype=np.int64)
+        q = (t * M) // L
+        p = (t * M) % L
+        idx = (q[:, None] + K) - karr[None, :]
+        y[b0:b0 + len(t)] = np.einsum(
+            "tk,tk->t", phases32[p], xpad32[idx])
     # Compensate the group delay of the causal prototype ((num_taps-1)/2
     # upsampled samples), then trim to the exact output length.
     delay_out = int(round(delay_up / M))

@@ -23,6 +23,7 @@ Execution model (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 import time
 from pathlib import Path
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -36,7 +37,12 @@ from .audio.resample import resample
 from .config import PipelineConfig
 from .diarization.cluster import ahc_labels
 from .models import languages as lang_table
-from .models.conformer import asr_forward, asr_init, asr_param_specs
+from .models.conformer import (
+    asr_forward,
+    asr_init,
+    asr_param_specs,
+    pooled_speaker_embed_np,
+)
 from .ops.ctc import DecodedSegment, segments_from_alignment
 from .ops.mel_pallas import BLOCK_T, MelFrontend, log_mel_frames_pallas
 from .parallel.mesh import build_mesh, shard_params
@@ -77,6 +83,8 @@ class TranscriptionEngine:
         batch_windows_per_device: int = 4,
         window_seconds: float = WINDOW_SECONDS,
         enable_translation: bool = False,
+        translator_params=None,
+        translator_path: Optional[str] = None,
         quantize: bool = False,
     ) -> None:
         self.config = config or PipelineConfig.from_env()
@@ -86,12 +94,26 @@ class TranscriptionEngine:
         self._frontend = MelFrontend(self.config.frontend)
 
         cfg = self.config
-        self._translator = None
-        if enable_translation:
-            from .models.translation import translator_init
+        # Translation requires trained decoder weights: a random-init decoder
+        # would write noise into segment.translation, which is strictly worse
+        # than the schema-valid None (reference: null iff English,
+        # gemini_pipeline.py:176-179).
+        self._translator = translator_params
+        if self._translator is None:
+            translator_path = translator_path or os.getenv(
+                "OMNIASR_TRANSLATOR")
+            if translator_path:
+                from .models.translation import load_translator
 
-            self._translator = translator_init(
-                jax.random.PRNGKey(cfg.seed + 1), cfg)
+                self._translator = load_translator(translator_path, cfg)
+        if enable_translation and self._translator is None:
+            import warnings
+
+            warnings.warn(
+                "enable_translation=True but no translator checkpoint is "
+                "available (pass translator_params/translator_path or set "
+                "OMNIASR_TRANSLATOR); translation stays disabled.",
+                stacklevel=2)
         if params is None:
             if cfg.checkpoint_path:
                 from .models.zoo import load_checkpoint
@@ -99,6 +121,11 @@ class TranscriptionEngine:
                 params = load_checkpoint(cfg.checkpoint_path, cfg)
             else:
                 params = asr_init(jax.random.PRNGKey(cfg.seed), cfg)
+        # Host copy of the speaker-pooling projection for per-segment
+        # embeddings (models/conformer.py pooled_speaker_embed_np) — taken
+        # before quantization so the tiny host matmul stays fp32.
+        self._spk_pool = {
+            "spk_proj": jax.tree.map(np.asarray, params["spk_proj"])}
         specs = asr_param_specs(cfg)
         if quantize:
             # W8A16 serving: int8 dense weights (half the HBM footprint and
@@ -202,7 +229,7 @@ class TranscriptionEngine:
                 "ctc_ids": ctc_ids.astype(jnp.int32),
                 "lid_ids": lid_ids.astype(jnp.int32),
                 "emotion_logits": out["emotion_logits"],
-                "speaker_embed": out["speaker_embed"],
+                "speaker_frames": out["speaker_frames"],
                 "frame_energy": e_sub,
                 "mask": out["mask"],
             }
@@ -346,7 +373,7 @@ class TranscriptionEngine:
             ctc = np.asarray(out["ctc_ids"])
             lid = np.asarray(out["lid_ids"])
             emo = np.asarray(out["emotion_logits"], dtype=np.float32)
-            spk = np.asarray(out["speaker_embed"], dtype=np.float32)
+            spk = np.asarray(out["speaker_frames"], dtype=np.float32)
             sub_mask = np.asarray(out["mask"])
             enc = (np.asarray(out["encoder_states"], dtype=np.float32)
                    if "encoder_states" in out else None)
@@ -362,7 +389,7 @@ class TranscriptionEngine:
                     "ctc_ids": ctc[k, :nf_sub],
                     "lid_ids": lid[k, :nf_sub],
                     "emotion_logits": emo[k, :nf_sub],
-                    "speaker_embed": spk[k, :nf_sub],
+                    "speaker_frames": spk[k, :nf_sub],
                     "frame_energy": energy[k, :nf_sub],
                     "encoder_states": (enc[k, :nf_sub]
                                        if enc is not None else None),
@@ -396,13 +423,19 @@ class TranscriptionEngine:
             for s in segs:
                 f0, f1 = s.frame_start, s.frame_end
                 emo_mean = w["emotion_logits"][f0:f1].mean(axis=0)
-                spk_span = w["speaker_embed"][f0:f1]
+                spk_span = w["speaker_frames"][f0:f1]
+                # Statistics pooling (mean+std) + trained projection — the
+                # x-vector recipe the speaker branch is trained with
+                # (models/conformer.py pooled_speaker_embed), speech-weighted
+                # by the window noise floor.
                 if floor is not None:
-                    speech = energy[f0:f1] > floor + 6.0
-                    spk_mean = (spk_span[speech].mean(axis=0)
-                                if speech.any() else spk_span.mean(axis=0))
+                    weights = (energy[f0:f1] > floor + 6.0).astype(np.float32)
+                    if not weights.any():
+                        weights = np.ones(len(spk_span), np.float32)
                 else:
-                    spk_mean = spk_span.mean(axis=0)
+                    weights = np.ones(len(spk_span), np.float32)
+                spk_mean = pooled_speaker_embed_np(
+                    self._spk_pool, spk_span, weights)
                 lid_frames = w["lid_ids"][f0:f1]
                 enc_span = (w["encoder_states"][f0:f1]
                             if w.get("encoder_states") is not None else None)
@@ -665,7 +698,8 @@ class TranscriptionEngine:
             ctc = np.asarray(out["ctc_ids"])
             lid = np.asarray(out["lid_ids"])
             emo = np.asarray(out["emotion_logits"], dtype=np.float32)
-            spk = np.asarray(out["speaker_embed"], dtype=np.float32)
+            spk = np.asarray(out["speaker_frames"], dtype=np.float32)
+            energy = np.asarray(out["frame_energy"], dtype=np.float32)
             sub_mask = np.asarray(out["mask"])
 
             partial: List[TranscriptSegment] = []
@@ -676,7 +710,8 @@ class TranscriptionEngine:
                     "ctc_ids": ctc[k, :nf_sub],
                     "lid_ids": lid[k, :nf_sub],
                     "emotion_logits": emo[k, :nf_sub],
-                    "speaker_embed": spk[k, :nf_sub],
+                    "speaker_frames": spk[k, :nf_sub],
+                    "frame_energy": energy[k, :nf_sub],
                     "encoder_states": None,
                 }
                 all_outs.append(w)
@@ -685,7 +720,9 @@ class TranscriptionEngine:
                     time_offset_s=w["offset_s"])
                 for s in segs:
                     f0, f1 = s.frame_start, s.frame_end
-                    emb = w["speaker_embed"][f0:f1].mean(axis=0)
+                    emb = pooled_speaker_embed_np(
+                        self._spk_pool, w["speaker_frames"][f0:f1],
+                        np.ones(f1 - f0, np.float32))
                     lab = self._online_speaker(emb, centroids, counts)
                     lid_frames = w["lid_ids"][f0:f1]
                     langs = self._segment_languages(lid_frames, -1)

@@ -177,6 +177,26 @@ def greedy_translate(params, enc, enc_mask, cfg: PipelineConfig,
     return toks.T  # [B, max_len]
 
 
+def save_translator(path, params) -> None:
+    """Persist trained decoder weights (Orbax, same layout as zoo)."""
+    from .zoo import save_checkpoint
+
+    save_checkpoint(path, params)
+
+
+def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
+    """Load decoder weights saved by :func:`save_translator`, validated
+    against the abstract init structure."""
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    template = jax.eval_shape(
+        lambda: translator_init(jax.random.PRNGKey(0), cfg, n_layers))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).resolve(), template)
+
+
 def tokens_to_text(tokens, vocab) -> str:
     """Strip at first EOS(0) and decode UTF-8."""
     out = []

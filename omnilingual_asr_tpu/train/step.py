@@ -43,11 +43,36 @@ class TrainState:
     step: jnp.ndarray
 
 
-def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig):
-    """Joint loss: CTC + 0.1*(LID CE + emotion CE).
+def aam_softmax_loss(embed: jnp.ndarray, labels: jnp.ndarray,
+                     weight: jnp.ndarray, margin: float = 0.2,
+                     scale: float = 30.0) -> jnp.ndarray:
+    """Additive-angular-margin softmax (ArcFace) over speaker classes.
 
-    batch keys: mel [B,T,F], mask [B,T], labels [B,L], label_mask [B,L],
-    lid_label [B], emotion_label [B].
+    embed: [B, D] L2-normalized; weight: [D, C]; labels: [B] int."""
+    wn = weight / jnp.maximum(
+        jnp.linalg.norm(weight, axis=0, keepdims=True), 1e-8)
+    cos = embed @ wn                       # [B, C]
+    tgt = jnp.take_along_axis(cos, labels[:, None], axis=1)[:, 0]
+    sin = jnp.sqrt(jnp.clip(1.0 - tgt ** 2, 0.0, 1.0))
+    tgt_m = tgt * jnp.cos(margin) - sin * jnp.sin(margin)
+    onehot = jax.nn.one_hot(labels, cos.shape[-1], dtype=cos.dtype)
+    logits = scale * (cos + onehot * (tgt_m - tgt)[:, None])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -(logp * onehot).sum(axis=-1).mean()
+
+
+def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
+            trans_params=None):
+    """Joint multi-task loss.
+
+    Always: CTC + 0.1*(LID CE + emotion CE).
+    Optional (keyed by batch contents):
+      lid_frame_label [B,T'] (-1 = unlabeled) -> frame-level LID CE (enables
+          code-switch detection) instead of pooled LID;
+      speaker_label [B] -> AAM-softmax on the stats-pooled speaker embedding
+          (x-vector recipe);
+      trans_in/trans_tgt/trans_mask [B,Lt] + trans_params -> teacher-forced
+          X->English translation CE over the shared encoder states.
     """
     out = asr_forward(params, batch["mel"], batch["mask"], cfg)
     l_ctc = ctc_loss(out["ctc_logits"], out["mask"], batch["labels"],
@@ -61,27 +86,76 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig):
         logp = jax.nn.log_softmax(pooled, axis=-1)
         return -jnp.take_along_axis(logp, label[:, None], axis=-1).mean()
 
-    l_lid = pooled_ce(out["lid_logits"], batch["lid_label"])
+    if "lid_frame_label" in batch:
+        lbl = batch["lid_frame_label"]
+        valid = (lbl >= 0) & out["mask"]
+        logp = jax.nn.log_softmax(out["lid_logits"], axis=-1)
+        pick = jnp.take_along_axis(
+            logp, jnp.maximum(lbl, 0)[:, :, None], axis=-1)[:, :, 0]
+        l_lid = -(pick * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+    else:
+        l_lid = pooled_ce(out["lid_logits"], batch["lid_label"])
     l_emo = pooled_ce(out["emotion_logits"], batch["emotion_label"])
     total = l_ctc + 0.1 * (l_lid + l_emo)
-    return total, {"loss": total, "ctc": l_ctc, "lid": l_lid, "emotion": l_emo}
+    metrics = {"ctc": l_ctc, "lid": l_lid, "emotion": l_emo}
+
+    if "speaker_label" in batch:
+        from ..models.conformer import pooled_speaker_embed
+
+        emb = pooled_speaker_embed(params, out["speaker_frames"],
+                                   out["mask"].astype(jnp.float32))
+        l_spk = aam_softmax_loss(emb, batch["speaker_label"],
+                                 params["spk_aam"])
+        total = total + 0.3 * l_spk
+        metrics["speaker"] = l_spk
+
+    if trans_params is not None and "trans_in" in batch:
+        from ..models.translation import decoder_forward
+
+        tlogits = decoder_forward(trans_params, batch["trans_in"],
+                                  out["encoder_states"], out["mask"], cfg)
+        tlogp = jax.nn.log_softmax(tlogits, axis=-1)
+        pick = jnp.take_along_axis(
+            tlogp, batch["trans_tgt"][:, :, None], axis=-1)[:, :, 0]
+        tm = batch["trans_mask"].astype(jnp.float32)
+        l_tr = -(pick * tm).sum() / jnp.maximum(tm.sum(), 1.0)
+        total = total + 0.5 * l_tr
+        metrics["translation"] = l_tr
+
+    metrics["loss"] = total
+    return total, metrics
+
+
+#: PartitionSpec per known batch key (batch dim over 'data').
+_BATCH_KEY_SPECS: Dict[str, P] = {
+    "mel": P("data", None, None),
+    "samples": P("data", None),
+    "mask": P("data", None),
+    "labels": P("data", None),
+    "label_mask": P("data", None),
+    "lid_label": P("data"),
+    "emotion_label": P("data"),
+    "speaker_label": P("data"),
+    "lid_frame_label": P("data", None),
+    "trans_in": P("data", None),
+    "trans_tgt": P("data", None),
+    "trans_mask": P("data", None),
+}
+
+_LEGACY_KEYS = ("mel", "mask", "labels", "label_mask", "lid_label",
+                "emotion_label")
 
 
 def batch_specs() -> Dict[str, P]:
-    return {
-        "mel": P("data", None, None),
-        "mask": P("data", None),
-        "labels": P("data", None),
-        "label_mask": P("data", None),
-        "lid_label": P("data"),
-        "emotion_label": P("data"),
-    }
+    return {k: _BATCH_KEY_SPECS[k] for k in _LEGACY_KEYS}
 
 
 def make_train_step(cfg: PipelineConfig, mesh: Mesh,
                     tx: Optional[optax.GradientTransformation] = None,
                     from_samples: bool = False,
-                    augment: Optional["SpecAugmentConfig"] = None):
+                    augment: Optional["SpecAugmentConfig"] = None,
+                    batch_keys=None,
+                    with_translator: bool = False):
     """Returns (init_state_fn, train_step_fn), both jitted over the mesh.
 
     GSPMD propagates param shardings into the optimizer state, so only
@@ -90,16 +164,29 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
     from_samples=True: the batch carries raw ``samples`` [B, n] instead of
     ``mel`` and the log-mel frontend runs inside the same jit (fused with
     the step, matching the inference engine's fused pipeline).
+
+    batch_keys: the batch dict's keys (defaults to the legacy 6-key set);
+    extra keys (speaker_label, lid_frame_label, trans_*) switch on the
+    corresponding losses in loss_fn.
+
+    with_translator=True: params become {"asr":…, "translator":…} and the
+    X->English decoder trains jointly through the shared encoder states.
     """
     tx = tx or make_optimizer()
     pspecs = asr_param_specs(cfg)
+    if with_translator:
+        from ..models.translation import translator_specs
+
+        pspecs = {"asr": pspecs, "translator": translator_specs()}
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                             is_leaf=lambda x: isinstance(x, P))
-    bspecs = batch_specs()
-    if from_samples:
-        bspecs = dict(bspecs)
-        del bspecs["mel"]
-        bspecs["samples"] = P("data", None)
+    if batch_keys is None:
+        keys = list(_LEGACY_KEYS)
+        if from_samples:
+            keys[keys.index("mel")] = "samples"
+    else:
+        keys = list(batch_keys)
+    bspecs = {k: _BATCH_KEY_SPECS[k] for k in keys}
     batch_sh = {k: NamedSharding(mesh, s) for k, s in bspecs.items()}
 
     frontend = None
@@ -110,6 +197,12 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
 
     def init_state(seed: int = 0) -> TrainState:
         params = asr_init(jax.random.PRNGKey(seed), cfg)
+        if with_translator:
+            from ..models.translation import translator_init
+
+            params = {"asr": params,
+                      "translator": translator_init(
+                          jax.random.PRNGKey(seed + 1), cfg)}
         params = shard_params(params, pspecs, mesh)
         opt_state = jax.jit(tx.init)(params)
         return TrainState(params=params, opt_state=opt_state,
@@ -148,8 +241,14 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
             batch = dict(batch)
             batch["mel"] = spec_augment(key, batch["mel"], batch["mask"],
                                         augment)
+        if with_translator:
+            def joint_loss(p, b):
+                return loss_fn(p["asr"], b, cfg, trans_params=p["translator"])
+        else:
+            def joint_loss(p, b):
+                return loss_fn(p, b, cfg)
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, cfg)
+            joint_loss, has_aux=True)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, step + 1, metrics

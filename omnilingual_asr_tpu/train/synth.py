@@ -1,0 +1,832 @@
+"""Synthetic multi-task speech corpus: formant-synthesized utterances with
+exact transcripts, language / emotion / speaker labels and English glosses.
+
+Why this exists: the reference outsources all model capability to the Gemini
+API (reference gemini_pipeline.py:512-530) and ships no training data; this
+environment has no network egress, so no public corpus (FLEURS/CommonVoice)
+can be fetched either. This module gives the trainer an unbounded supervised
+corpus whose acoustics are produced by a source-filter formant synthesizer —
+the same mechanism class real speech uses — so every head of the model
+(byte CTC, frame LID, emotion, speaker, X->English translation) learns a
+genuine audio->label mapping rather than memorizing files:
+
+- Each Unicode character is a deterministic acoustic unit (vowel-like
+  harmonics through formant resonances, fricative noise bands, stop bursts,
+  nasal murmurs), parameterized by a stable hash of the character. The model
+  must learn the unit->UTF-8-byte mapping from sound alone.
+- 8 synthetic languages over distinct scripts (Latin, Cyrillic, Greek,
+  Devanagari, Arabic, Georgian, Thai) exercise multi-byte UTF-8 CTC and make
+  frame-level language ID learnable; each non-English lexicon is a bijective
+  cipher of the English lexicon, so the translation decoder has a real
+  word-level X->English task.
+- Speakers are (f0 base, vocal-tract length / formant scale, breathiness,
+  vibrato) draws keyed by speaker id; emotions modulate prosody
+  (f0/rate/energy/jitter) so the 4-class head (schema enum, reference
+  gemini_pipeline.py:133-136) has signal.
+- Augmentation: background noise at random SNR, gain, f0 declination,
+  per-utterance tempo.
+
+The two real recordings the reference ships (gettysburg.wav + word-aligned
+gettysburg.eaf golden, Samuel Speaking Lisu.mp3 + samuel_lisu.eaf) are folded
+in through :func:`eaf_windows` so the checkpoint also sees real speech.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..types import EMOTIONS
+
+SAMPLE_RATE = 16_000
+
+# ---------------------------------------------------------------------------
+# Scripts / languages
+# ---------------------------------------------------------------------------
+
+_LATIN = "abcdefghijklmnopqrstuvwxyz"
+_CYRILLIC = "абвгдежзиклмнопрстуфхцшыэюя"
+_GREEK = "αβγδεζηθικλμνξοπρστυφχψω"
+_DEVANAGARI = "कखगघचछजझटडतथदधनपफबभमयरलवशसह"
+_ARABIC = "ابتثجحخدذرزسشصضطظعغفقكلمنهوي"
+_GEORGIAN = "აბგდევზთიკლმნოპჟრსტუფქღყშჩცძწჭხჯჰ"
+_THAI = "กขคงจฉชซญดตถทธนบปผพฟภมยรลวศษสหอฮ"
+
+
+@dataclass(frozen=True)
+class SynthLanguage:
+    name: str          # display name matching models/languages.py
+    code: str
+    alphabet: str
+    is_english: bool = False
+
+
+LANGUAGES: Tuple[SynthLanguage, ...] = (
+    SynthLanguage("English", "en", _LATIN, is_english=True),
+    SynthLanguage("Swahili", "sw", _LATIN),
+    SynthLanguage("Russian", "ru", _CYRILLIC),
+    SynthLanguage("Greek", "el", _GREEK),
+    SynthLanguage("Hindi", "hi", _DEVANAGARI),
+    SynthLanguage("Arabic", "ar", _ARABIC),
+    SynthLanguage("Georgian", "ka", _GEORGIAN),
+    SynthLanguage("Thai", "th", _THAI),
+)
+
+# ~480 common English words: the shared semantic lexicon. Every synthetic
+# language's word i is a cipher of ENGLISH_WORDS[i], giving the translation
+# head an exact X->English gloss per utterance.
+ENGLISH_WORDS = (
+    "the of and to in is you that it he was for on are as with his they be "
+    "at one have this from or had by hot word but what some we can out other "
+    "were all there when up use your how said an each she which do their "
+    "time if will way about many then them write would like so these her "
+    "long make thing see him two has look more day could go come did number "
+    "sound no most people my over know water than call first who may down "
+    "side been now find any new work part take get place made live where "
+    "after back little only round man year came show every good me give our "
+    "under name very through just form sentence great think say help low "
+    "line differ turn cause much mean before move right boy old too same "
+    "tell does set three want air well also play small end put home read "
+    "hand port large spell add even land here must big high such follow act "
+    "why ask men change went light kind off need house picture try us again "
+    "animal point mother world near build self earth father head stand own "
+    "page should country found answer school grow study still learn plant "
+    "cover food sun four between state keep eye never last let thought city "
+    "tree cross farm hard start might story saw far sea draw left late run "
+    "while press close night real life few north open seem together next "
+    "white children begin got walk example ease paper group always music "
+    "those both mark often letter until mile river car feet care second "
+    "book carry took science eat room friend began idea fish mountain stop "
+    "once base hear horse cut sure watch color face wood main enough plain "
+    "girl usual young ready above ever red list though feel talk bird soon "
+    "body dog family direct pose leave song measure door product black "
+    "short numeral class wind question happen complete ship area half rock "
+    "order fire south problem piece told knew pass since top whole king "
+    "space heard best hour better true during hundred five remember step "
+    "early hold west ground interest reach fast verb sing listen six table "
+    "travel less morning ten simple several vowel toward war lay against "
+    "pattern slow center love person money serve appear road map rain rule "
+    "govern pull cold notice voice unit power town fine certain fly fall "
+    "lead cry dark machine note wait plan figure star box noun field rest "
+    "correct able pound done beauty drive stood contain front teach week "
+    "final gave green oh quick develop ocean warm free minute strong "
+    "special mind behind clear tail produce fact street inch multiply "
+    "nothing course stay wheel full force blue object decide surface deep "
+    "moon island foot system busy test record boat common gold possible "
+    "plane stead dry wonder laugh thousand ago ran check game shape equate "
+    "miss brought heat snow tire bring yes distant fill east paint language "
+    "among grand ball yet wave drop heart am present heavy dance engine "
+    "position arm wide sail material size vary settle speak weight general "
+    "ice matter circle pair include divide syllable felt perhaps pick "
+    "sudden count square reason length represent art subject region energy "
+    "hunt probable bed brother egg ride cell believe fraction forest sit "
+    "race window store summer train sleep prove lone leg exercise wall "
+    "catch mount wish sky board joy winter written wild instrument kept "
+    "glass grass cow job edge sign visit past soft fun bright gas weather "
+    "month million bear finish happy hope flower clothe strange gone jump "
+    "baby eight village meet root buy raise solve metal whether push seven "
+    "paragraph third shall held hair describe cook floor either result "
+    "burn hill safe cat century consider type law bit coast copy phrase "
+    "silent tall sand soil roll temperature finger industry value fight "
+    "lie beat excite natural view sense ear else quite broke case middle "
+    "kill son lake moment scale loud spring observe child straight "
+    "consonant nation dictionary milk speed method organ pay age section "
+    "dress cloud surprise quiet stone tiny climb cool design poor lot "
+    "experiment bottom key iron single stick flat twenty skin smile crease "
+    "hole trade melody trip office receive row mouth exact symbol die "
+    "least trouble shout except wrote seed tone join suggest clean break "
+    "lady yard rise bad blow oil blood touch grew cent mix team wire cost "
+    "lost brown wear garden equal sent choose fell fit flow fair bank "
+    "collect save control decimal gentle woman captain practice separate "
+    "difficult doctor please protect noon whose locate ring character "
+    "insect caught period indicate radio spoke atom human history effect "
+    "electric expect crop modern element hit student corner party supply "
+    "bone rail imagine provide agree thus capital chair danger fruit rich "
+    "thick soldier process operate guess necessary sharp wing create "
+    "neighbor wash bat rather crowd corn compare poem string bell depend "
+    "meat rub tube famous dollar stream fear sight thin triangle planet "
+    "hurry chief colony clock mine tie enter major fresh search send "
+    "yellow gun allow print dead spot desert suit current lift rose "
+    "continue block chart hat sell success company subtract event "
+    "particular deal swim term opposite wife shoe shoulder spread arrange "
+    "camp invent cotton born determine quart nine truck noise level "
+    "chance gather shop stretch throw shine property column molecule "
+    "select wrong gray repeat require broad prepare salt nose plural "
+    "anger claim continent oxygen sugar death pretty skill women season "
+    "solution magnet silver thank branch match suffix especially fig "
+    "afraid huge sister steel discuss forward similar guide experience "
+    "score apple bought led pitch coat mass card band rope slip win "
+    "dream evening condition feed tool total basic smell valley nor "
+    "double seat arrive master track parent shore division sheet "
+    "substance favor connect post spend chord fat glad original share "
+    "station dad bread charge proper bar offer segment slave duck "
+    "instant market degree populate chick dear enemy reply drink occur "
+    "support speech nature range steam motion path liquid log meant "
+    "quotient teeth shell neck"
+).split()
+
+N_SPEAKERS = 1024   # speaker-id space for the AAM-softmax head
+LEXICON_SIZE = len(ENGLISH_WORDS)
+
+
+def _hash_floats(key: str, n: int) -> np.ndarray:
+    """n deterministic floats in [0, 1) from a string key (stable across
+    processes/runs — no PYTHONHASHSEED dependence)."""
+    out = np.empty(n, np.float64)
+    i = 0
+    counter = 0
+    while i < n:
+        h = hashlib.md5(f"{key}:{counter}".encode()).digest()
+        for j in range(0, 16, 4):
+            if i >= n:
+                break
+            out[i] = int.from_bytes(h[j:j + 4], "little") / 2**32
+            i += 1
+        counter += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lexicons: each language's word i is a deterministic cipher of English
+# word i, built from that language's alphabet with CV(C) phonotactics.
+# ---------------------------------------------------------------------------
+
+def _build_lexicon(lang: SynthLanguage) -> List[str]:
+    if lang.is_english:
+        return list(ENGLISH_WORDS)
+    rng = np.random.default_rng(
+        int.from_bytes(hashlib.md5(lang.code.encode()).digest()[:4], "little"))
+    alpha = list(lang.alphabet)
+    words: List[str] = []
+    seen = set()
+    for i in range(LEXICON_SIZE):
+        # syllable count loosely follows the English word's length
+        n_syll = max(1, min(4, (len(ENGLISH_WORDS[i]) + 2) // 3))
+        while True:
+            w = "".join(
+                alpha[rng.integers(len(alpha))]
+                + alpha[rng.integers(len(alpha))]
+                + (alpha[rng.integers(len(alpha))]
+                   if rng.random() < 0.3 else "")
+                for _ in range(n_syll))
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+                break
+    return words
+
+
+_LEXICONS: Dict[str, List[str]] = {}
+
+
+def lexicon(lang: SynthLanguage) -> List[str]:
+    if lang.code not in _LEXICONS:
+        _LEXICONS[lang.code] = _build_lexicon(lang)
+    return _LEXICONS[lang.code]
+
+
+# ---------------------------------------------------------------------------
+# Character -> acoustic unit
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Unit:
+    kind: str            # vowel | nasal | fricative | stop | silence
+    f: Tuple[float, float, float]   # formants (vowel/nasal) or (center, bw, -)
+    dur_ms: float
+    gain: float
+
+
+_UNIT_CACHE: Dict[str, Unit] = {}
+
+
+def unit_for_char(ch: str) -> Unit:
+    """Deterministic acoustic unit for a character."""
+    if ch in _UNIT_CACHE:
+        return _UNIT_CACHE[ch]
+    if ch.isspace():
+        u = Unit("silence", (0.0, 0.0, 0.0), 90.0, 0.0)
+    else:
+        r = _hash_floats("unit:" + ch, 8)
+        # Multi-byte UTF-8 chars (whole syllables in Devanagari/Thai/...)
+        # get proportionally longer units, keeping the CTC label byte rate
+        # (<=25 bytes/s at subsample 4) below the encoder frame rate —
+        # otherwise alignment is infeasible for 3-byte scripts.
+        width = len(ch.encode("utf-8"))
+        dur_scale = {1: 1.0, 2: 1.7, 3: 2.4}.get(width, 3.0)
+        kind = ("vowel", "vowel", "nasal", "fricative", "fricative",
+                "stop")[int(r[0] * 6)]
+        if kind in ("vowel", "nasal"):
+            f1 = 250.0 + 600.0 * r[1]
+            f2 = max(f1 + 300.0, 800.0 + 1700.0 * r[2])
+            f3 = max(f2 + 400.0, 2200.0 + 1000.0 * r[3])
+            u = Unit(kind, (f1, f2, f3), dur_scale * (70.0 + 50.0 * r[4]),
+                     0.9 if kind == "vowel" else 0.45)
+        elif kind == "fricative":
+            center = 1200.0 + 5800.0 * r[1]
+            bw = 400.0 + 1600.0 * r[2]
+            u = Unit(kind, (center, bw, 0.0),
+                     dur_scale * (60.0 + 50.0 * r[4]), 0.35)
+        else:  # stop: gap + burst
+            center = 800.0 + 4200.0 * r[1]
+            u = Unit(kind, (center, 900.0, 0.0),
+                     dur_scale * (55.0 + 30.0 * r[4]), 0.6)
+    _UNIT_CACHE[ch] = u
+    return u
+
+
+# ---------------------------------------------------------------------------
+# Speakers & emotions
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Speaker:
+    f0: float            # base pitch, Hz
+    formant_scale: float  # vocal-tract length proxy
+    breath: float        # noise mixed into voiced units
+    vibrato_hz: float
+    vibrato_depth: float  # fraction of f0
+
+
+def speaker_profile(speaker_id: int) -> Speaker:
+    r = _hash_floats(f"spk:{speaker_id}", 5)
+    return Speaker(
+        f0=float(np.exp(np.log(85.0) + r[0] * (np.log(255.0) - np.log(85.0)))),
+        formant_scale=float(0.85 + 0.32 * r[1]),
+        breath=float(0.02 + 0.10 * r[2]),
+        vibrato_hz=float(4.0 + 3.0 * r[3]),
+        vibrato_depth=float(0.005 + 0.02 * r[4]),
+    )
+
+
+# (f0_mult, rate_mult, energy_mult, jitter)
+_EMOTION_PROSODY = {
+    "neutral": (1.0, 1.0, 1.0, 0.01),
+    "happy": (1.28, 1.15, 1.1, 0.02),
+    "sad": (0.82, 0.78, 0.75, 0.005),
+    "angry": (1.1, 1.12, 1.5, 0.06),
+}
+
+
+# ---------------------------------------------------------------------------
+# Synthesis
+# ---------------------------------------------------------------------------
+
+def _formant_envelope(freqs: np.ndarray, formants, scale: float,
+                      tilt: float = 1.0) -> np.ndarray:
+    """Lorentzian resonance peaks + spectral tilt; vectorized over freqs."""
+    env = np.full_like(freqs, 0.015)
+    gains = (1.0, 0.63, 0.35)
+    bws = (90.0, 120.0, 180.0)
+    for (f, g, bw) in zip(formants, gains, bws):
+        fs = f * scale
+        env += g / (1.0 + ((freqs - fs) / bw) ** 2)
+    # -6 dB/oct source tilt, softened by `tilt` (angry -> brighter)
+    env *= (1.0 + freqs / 500.0) ** (-tilt)
+    return env
+
+
+def synth_utterance(text: str, speaker_id: int, emotion: str = "neutral",
+                    seed: int = 0, snr_db: Optional[float] = None,
+                    rate: float = 1.0,
+                    word_spans: Optional[list] = None) -> np.ndarray:
+    """Render text to 16 kHz float32 mono.
+
+    word_spans, if passed a list, is filled with (char_index_ranges ->
+    (sample_start, sample_end)) per character for frame-level labels.
+    """
+    rng = np.random.default_rng(seed)
+    spk = speaker_profile(speaker_id)
+    f0m, ratem, energym, jitter = _EMOTION_PROSODY.get(
+        emotion, _EMOTION_PROSODY["neutral"])
+    tilt = 0.7 if emotion == "angry" else 1.0
+    rate_total = rate * ratem
+
+    pieces: List[np.ndarray] = []
+    n_chars = len(text)
+    total = 0
+    # f0 declination across the utterance
+    for i, ch in enumerate(text):
+        u = unit_for_char(ch)
+        n = max(16, int(u.dur_ms / 1000.0 * SAMPLE_RATE / rate_total))
+        start = total
+        if u.kind == "silence" or u.gain == 0.0:
+            seg = np.zeros(n, np.float32)
+        elif u.kind in ("vowel", "nasal"):
+            decl = 1.0 - 0.25 * (i / max(1, n_chars))
+            f0 = spk.f0 * f0m * decl * (1.0 + jitter * rng.standard_normal())
+            t = (total + np.arange(n)) / SAMPLE_RATE
+            vib = 1.0 + spk.vibrato_depth * np.sin(
+                2 * np.pi * spk.vibrato_hz * t)
+            inst_f0 = f0 * vib
+            phase = 2 * np.pi * np.cumsum(inst_f0) / SAMPLE_RATE
+            n_harm = int(min(40, (SAMPLE_RATE / 2 - 200) // max(f0, 50.0)))
+            k = np.arange(1, n_harm + 1)
+            amps = _formant_envelope(k * f0, u.f, spk.formant_scale, tilt)
+            seg = (np.sin(phase[None, :] * k[:, None]) *
+                   amps[:, None]).sum(axis=0).astype(np.float32)
+            seg /= max(1.0, np.abs(seg).max())
+            seg += spk.breath * rng.standard_normal(n).astype(np.float32)
+            seg *= u.gain
+        elif u.kind == "fricative":
+            noise = rng.standard_normal(n).astype(np.float32)
+            spec = np.fft.rfft(noise)
+            fr = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
+            band = np.exp(-0.5 * ((fr - u.f[0] * spk.formant_scale)
+                                  / u.f[1]) ** 2)
+            seg = np.fft.irfft(spec * band, n).astype(np.float32)
+            m = np.abs(seg).max()
+            seg = seg / max(m, 1e-6) * u.gain
+        else:  # stop: closure gap then burst
+            gap = int(n * 0.45)
+            burst = n - gap
+            noise = rng.standard_normal(burst).astype(np.float32)
+            spec = np.fft.rfft(noise)
+            fr = np.fft.rfftfreq(burst, 1.0 / SAMPLE_RATE)
+            band = np.exp(-0.5 * ((fr - u.f[0] * spk.formant_scale)
+                                  / u.f[1]) ** 2)
+            b = np.fft.irfft(spec * band, burst).astype(np.float32)
+            b = b / max(np.abs(b).max(), 1e-6) * u.gain
+            b *= np.exp(-np.arange(burst) / (0.25 * burst))  # decay
+            seg = np.concatenate([np.zeros(gap, np.float32), b])
+        # 5 ms edge fades against clicks
+        edge = min(len(seg) // 4, int(0.005 * SAMPLE_RATE))
+        if edge > 0:
+            w = np.hanning(2 * edge)
+            seg[:edge] *= w[:edge]
+            seg[-edge:] *= w[edge:]
+        pieces.append(seg)
+        total += n
+        if word_spans is not None:
+            word_spans.append((start, total))
+
+    x = np.concatenate(pieces) if pieces else np.zeros(16, np.float32)
+    x *= 0.25 * energym
+    if snr_db is not None:
+        sig_p = float(np.mean(x ** 2)) + 1e-12
+        noise_p = sig_p / (10.0 ** (snr_db / 10.0))
+        x = x + rng.standard_normal(len(x)).astype(np.float32) * np.sqrt(
+            noise_p)
+    np.clip(x, -1.0, 1.0, out=x)
+    return x.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Example generation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SynthExample:
+    samples: np.ndarray        # 16 kHz float32
+    text: str
+    language: str              # display name
+    code: str
+    emotion: str
+    speaker_id: int
+    translation: Optional[str]  # English gloss, None iff English
+    char_spans: List[Tuple[int, int]]  # per text char (sample_start, end)
+
+
+def make_example(rng: np.random.Generator, *,
+                 min_words: int = 3, max_words: int = 10,
+                 languages: Sequence[SynthLanguage] = LANGUAGES,
+                 clean: bool = False) -> SynthExample:
+    lang = languages[int(rng.integers(len(languages)))]
+    lex = lexicon(lang)
+    n_words = int(rng.integers(min_words, max_words + 1))
+    # zipf-ish index draw keeps common words common
+    idx = np.minimum(
+        (rng.pareto(1.2, n_words) * 12).astype(int), LEXICON_SIZE - 1)
+    words = [lex[i] for i in idx]
+    text = " ".join(words)
+    translation = (None if lang.is_english
+                   else " ".join(ENGLISH_WORDS[i] for i in idx))
+    emotion = EMOTIONS[int(rng.integers(len(EMOTIONS)))]
+    speaker_id = int(rng.integers(N_SPEAKERS))
+    spans: List[Tuple[int, int]] = []
+    samples = synth_utterance(
+        text, speaker_id, emotion, seed=int(rng.integers(2**31)),
+        snr_db=None if clean else float(rng.uniform(8.0, 40.0)),
+        rate=float(rng.uniform(0.9, 1.15)),
+        word_spans=spans)
+    return SynthExample(samples=samples, text=text, language=lang.name,
+                        code=lang.code, emotion=emotion,
+                        speaker_id=speaker_id, translation=translation,
+                        char_spans=spans)
+
+
+def make_codeswitch_example(rng: np.random.Generator) -> SynthExample:
+    """Two-language utterance (code-switching, reference prompt req #4) with
+    per-char spans so frame LID labels switch mid-utterance."""
+    la, lb = rng.choice(len(LANGUAGES), size=2, replace=False)
+    a = make_example(rng, min_words=2, max_words=5,
+                     languages=[LANGUAGES[la]])
+    b = make_example(rng, min_words=2, max_words=5,
+                     languages=[LANGUAGES[lb]])
+    gap = np.zeros(int(0.12 * SAMPLE_RATE), np.float32)
+    samples = np.concatenate([a.samples, gap, b.samples])
+    off = len(a.samples) + len(gap)
+    text = a.text + " " + b.text
+    spans = (a.char_spans + [(len(a.samples), off)]
+             + [(s + off, e + off) for (s, e) in b.char_spans])
+    ex = SynthExample(
+        samples=samples, text=text, language=a.language, code=a.code,
+        emotion=a.emotion, speaker_id=a.speaker_id,
+        translation=None, char_spans=spans)
+    ex.lid_span_langs = ([a.language] * (len(a.text) + 1)
+                         + [b.language] * len(b.text))  # type: ignore
+    return ex
+
+
+# ---------------------------------------------------------------------------
+# Real bundled recordings via their word-aligned EAF goldens
+# ---------------------------------------------------------------------------
+
+def parse_eaf_words(eaf_path: str | Path) -> List[Tuple[float, float, str]]:
+    """(start_s, end_s, word) from an ELAN EAF word tier (the reference ships
+    gettysburg.eaf / samuel_lisu.eaf goldens, SURVEY C25)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(str(eaf_path)).getroot()
+    slots = {
+        ts.get("TIME_SLOT_ID"): float(ts.get("TIME_VALUE", "0")) / 1000.0
+        for ts in root.iter("TIME_SLOT")
+    }
+    words = []
+    for tier in root.iter("TIER"):
+        lt = (tier.get("LINGUISTIC_TYPE_REF") or "").lower()
+        if "word" not in lt and "word" not in (tier.get("TIER_ID") or "").lower():
+            continue
+        for ann in tier.iter("ALIGNABLE_ANNOTATION"):
+            t0 = slots.get(ann.get("TIME_SLOT_REF1"))
+            t1 = slots.get(ann.get("TIME_SLOT_REF2"))
+            val = ann.findtext("ANNOTATION_VALUE") or ""
+            if t0 is not None and t1 is not None and val.strip():
+                words.append((t0, t1, val.strip()))
+    words.sort(key=lambda w: w[0])
+    return words
+
+
+def eaf_windows(audio_path: str | Path, eaf_path: str | Path, *,
+                language: str, code: str, window_s: float = 12.0,
+                hold_out_after: Optional[float] = None,
+                ) -> List[dict]:
+    """Cut a real recording into <=window_s training windows with exact texts
+    from the EAF word alignment. Windows starting after ``hold_out_after``
+    seconds are tagged split='eval' (held-out for honest WER), others 'train'.
+    """
+    from ..audio.decode import decode_audio
+    from ..audio.resample import resample
+
+    samples, sr = decode_audio(audio_path)
+    if sr != SAMPLE_RATE:
+        samples = resample(samples, sr, SAMPLE_RATE)
+    words = parse_eaf_words(eaf_path)
+    out: List[dict] = []
+    i = 0
+    while i < len(words):
+        t0 = words[i][0]
+        j = i
+        while j + 1 < len(words) and words[j + 1][1] - t0 <= window_s:
+            # never pack across the hold-out boundary, so the eval tail
+            # gets its own (never-trained-on) windows
+            if (hold_out_after is not None and t0 < hold_out_after
+                    and words[j + 1][1] > hold_out_after):
+                break
+            j += 1
+        t1 = words[j][1]
+        pad = 0.15
+        s0 = max(0, int((t0 - pad) * SAMPLE_RATE))
+        s1 = min(len(samples), int((t1 + pad) * SAMPLE_RATE))
+        text = " ".join(w[2] for w in words[i:j + 1])
+        split = ("eval" if hold_out_after is not None and t0 >= hold_out_after
+                 else "train")
+        out.append({
+            "samples": samples[s0:s1].copy(), "text": text,
+            "language": language, "code": code, "start_s": t0, "end_s": t1,
+            "split": split,
+        })
+        i = j + 1
+    return out
+
+
+def real_corpus(reference_dir: str | Path = "/root/reference",
+                hold_out_frac: float = 0.25,
+                window_s: float = 12.0) -> Tuple[List[dict], List[dict]]:
+    """(train_windows, eval_windows) from the bundled real recordings.
+    Returns empty lists when the assets are absent (CI without the
+    reference checkout)."""
+    ref = Path(reference_dir)
+    # Only recordings with trustworthy transcripts: gettysburg.eaf is the
+    # actual Gettysburg Address; samuel_lisu.eaf's "Lisu" text is
+    # Gemini-hallucinated mixed-script noise (Arabic/CJK/Burmese fragments),
+    # so training on it would teach inconsistent labels — that file stays a
+    # demo/diarization asset only.
+    pairs = [
+        (ref / "gettysburg.wav", ref / "gettysburg.eaf", "English", "en"),
+    ]
+    train: List[dict] = []
+    evals: List[dict] = []
+    for audio, eaf, name, code in pairs:
+        if not (audio.exists() and eaf.exists()):
+            continue
+        words = parse_eaf_words(eaf)
+        if not words:
+            continue
+        t_end = words[-1][1]
+        cut = t_end * (1.0 - hold_out_frac)
+        for w in eaf_windows(audio, eaf, language=name, code=code,
+                             window_s=window_s, hold_out_after=cut):
+            (train if w["split"] == "train" else evals).append(w)
+    return train, evals
+
+
+# ---------------------------------------------------------------------------
+# Fixed-shape batching for the trainer
+# ---------------------------------------------------------------------------
+
+class SynthBatcher:
+    """Infinite fixed-shape batch stream mixing synthetic utterances,
+    code-switch utterances, and (augmented) real windows.
+
+    Produces the train-step batch dict (see train/step.py): samples, mask,
+    labels, label_mask, lid_label, emotion_label, speaker_label,
+    lid_frame_label [B,T'] (-1 = unlabeled frame), and translation
+    teacher-forcing tensors trans_in/trans_tgt/trans_mask.
+    """
+
+    def __init__(self, cfg, *, batch_size: int, window_seconds: float = 8.0,
+                 max_label_len: int = 256, max_trans_len: int = 192,
+                 seed: int = 0, real_fraction: float = 0.15,
+                 codeswitch_fraction: float = 0.1,
+                 reference_dir: str | Path = "/root/reference",
+                 prefetch: int = 4, n_threads: int = 4):
+        import queue
+        import threading
+
+        from ..models import languages as lang_table
+
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_label_len = max_label_len
+        self.max_trans_len = max_trans_len
+        fe = cfg.frontend
+        self.window_samples = int(window_seconds * fe.sample_rate)
+        n_frames = fe.frames_for_samples(self.window_samples)
+        sub = cfg.encoder.subsample_factor
+        self.window_frames = ((n_frames + sub - 1) // sub) * sub
+        self.sub = sub
+        self.real_fraction = real_fraction
+        self.codeswitch_fraction = codeswitch_fraction
+        self._lang_id = lang_table.id_for_language
+        self.real_train, self.real_eval = real_corpus(
+            reference_dir, window_s=window_seconds)
+        if not self.real_train:
+            self.real_fraction = 0.0
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._producer, args=(seed + 7919 * t,),
+                             daemon=True)
+            for t in range(n_threads)
+        ]
+        for t in self._threads:
+            t.start()
+
+    # -- example -> padded arrays -------------------------------------------
+
+    def _encode_text(self, text: str):
+        from ..ops.ctc import text_to_byte_labels
+
+        return text_to_byte_labels(text, self.cfg.vocab, self.max_label_len)
+
+    def _one(self, rng) -> dict:
+        r = rng.random()
+        if r < self.real_fraction:
+            w = self.real_train[int(rng.integers(len(self.real_train)))]
+            samples = w["samples"]
+            # augment: gain + noise (speed perturb handled by synth side)
+            samples = samples * float(rng.uniform(0.6, 1.3))
+            if rng.random() < 0.5:
+                snr = float(rng.uniform(12.0, 35.0))
+                p = float(np.mean(samples ** 2)) + 1e-12
+                samples = samples + rng.standard_normal(
+                    len(samples)).astype(np.float32) * np.sqrt(
+                        p / 10 ** (snr / 10))
+            return {"samples": samples, "text": w["text"],
+                    "language": w["language"], "emotion": "neutral",
+                    "speaker_id": 0 if w["language"] == "English" else 1,
+                    "translation": None, "char_spans": None,
+                    "lid_span_langs": None}
+        if r < self.real_fraction + self.codeswitch_fraction:
+            ex = make_codeswitch_example(rng)
+            return {"samples": ex.samples, "text": ex.text,
+                    "language": ex.language, "emotion": ex.emotion,
+                    "speaker_id": 2 + ex.speaker_id,
+                    "translation": ex.translation,
+                    "char_spans": ex.char_spans,
+                    "lid_span_langs": getattr(ex, "lid_span_langs", None)}
+        ex = make_example(rng)
+        return {"samples": ex.samples, "text": ex.text,
+                "language": ex.language, "emotion": ex.emotion,
+                "speaker_id": 2 + ex.speaker_id,
+                "translation": ex.translation, "char_spans": ex.char_spans,
+                "lid_span_langs": None}
+
+    def _collate(self, exs: List[dict]) -> Dict[str, np.ndarray]:
+        B = len(exs)
+        fe = self.cfg.frontend
+        samples = np.zeros((B, self.window_samples), np.float32)
+        mask = np.zeros((B, self.window_frames), bool)
+        labels = np.zeros((B, self.max_label_len), np.int32)
+        lmask = np.zeros((B, self.max_label_len), bool)
+        lid = np.zeros(B, np.int32)
+        emo = np.zeros(B, np.int32)
+        spk = np.zeros(B, np.int32)
+        Tp = self.window_frames // self.sub
+        lid_frames = np.full((B, Tp), -1, np.int32)
+        tin = np.zeros((B, self.max_trans_len), np.int32)
+        ttgt = np.zeros((B, self.max_trans_len), np.int32)
+        tmask = np.zeros((B, self.max_trans_len), bool)
+
+        frame_dur = fe.hop_length * self.sub / fe.sample_rate
+        for b, ex in enumerate(exs):
+            # consistent audio/text truncation to the window (trim_to_window)
+            x, text, translation, spans = trim_to_window(
+                ex, self.window_samples)
+            span_langs = ex.get("lid_span_langs")
+            if span_langs is not None and spans:
+                span_langs = span_langs[:len(spans)]
+            ex = dict(ex, samples=x, text=text, translation=translation,
+                      char_spans=spans or None, lid_span_langs=span_langs)
+            n = min(len(x), self.window_samples)
+            samples[b, :n] = x[:n]
+            n_valid = fe.frames_for_samples(n)
+            mask[b, :n_valid] = True
+            lab, lm = self._encode_text(ex["text"])
+            labels[b], lmask[b] = lab, lm
+            lang_id = self._lang_id(ex["language"]) or 0
+            lid[b] = max(lang_id, 0)
+            emo[b] = (EMOTIONS.index(ex["emotion"])
+                      if ex["emotion"] in EMOTIONS else 3)
+            spk[b] = ex["speaker_id"] % N_SPEAKERS
+            # frame-level LID labels from char spans (code-switch aware)
+            spans = ex.get("char_spans")
+            span_langs = ex.get("lid_span_langs")
+            if spans:
+                for ci, (s0, s1) in enumerate(spans):
+                    if s0 >= n:
+                        break
+                    name = (span_langs[ci] if span_langs
+                            and ci < len(span_langs) else ex["language"])
+                    lidc = self._lang_id(name) or 0
+                    fa = int(s0 / fe.sample_rate / frame_dur)
+                    fb = int(min(s1, n) / fe.sample_rate / frame_dur)
+                    lid_frames[b, fa:min(fb + 1, Tp)] = max(lidc, 0)
+            else:
+                nf = min(Tp, int(n / fe.sample_rate / frame_dur))
+                lid_frames[b, :nf] = max(lang_id, 0)
+            # translation teacher forcing: BOS(0) + bytes -> bytes + EOS(0)
+            tr = ex.get("translation")
+            if tr:
+                bs = tr.encode("utf-8")[: self.max_trans_len - 1]
+                ids = [self.cfg.vocab.byte_to_id(x) for x in bs]
+                tin[b, 0] = 0
+                tin[b, 1:1 + len(ids)] = ids
+                ttgt[b, :len(ids)] = ids
+                ttgt[b, len(ids)] = 0  # EOS
+                tmask[b, :len(ids) + 1] = True
+        return {
+            "samples": samples, "mask": mask, "labels": labels,
+            "label_mask": lmask, "lid_label": lid, "emotion_label": emo,
+            "speaker_label": spk, "lid_frame_label": lid_frames,
+            "trans_in": tin, "trans_tgt": ttgt, "trans_mask": tmask,
+        }
+
+    def _producer(self, seed: int):
+        rng = np.random.default_rng(seed)
+        while not self._stop.is_set():
+            exs = [self._one(rng) for _ in range(self.batch_size)]
+            batch = self._collate(exs)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except Exception:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        import queue
+
+        while True:
+            try:
+                return self._q.get(timeout=1.0)
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise StopIteration
+                continue
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
+def trim_to_window(ex: "SynthExample | dict", window_samples: int,
+                   ) -> Tuple[np.ndarray, str, Optional[str], list]:
+    """Consistently truncate (samples, text, translation, char_spans) so the
+    transcript exactly matches the audio that fits the training window —
+    clipping audio while keeping the full label would corrupt CTC training.
+
+    Cuts at the last *word* boundary whose samples end inside the window;
+    the English gloss is cut to the same number of words (the lexicons are
+    word-aligned ciphers).
+    """
+    if isinstance(ex, dict):
+        samples, text = ex["samples"], ex["text"]
+        translation, spans = ex.get("translation"), ex.get("char_spans")
+    else:
+        samples, text = ex.samples, ex.text
+        translation, spans = ex.translation, ex.char_spans
+    if len(samples) <= window_samples:
+        return samples, text, translation, spans or []
+    if not spans:
+        # no alignment info (real windows are pre-cut to the window length;
+        # this is a safety net): keep audio + text unchanged
+        return samples, text, translation, []
+    # last char whose audio fully fits
+    ci = 0
+    for i, (_, e) in enumerate(spans):
+        if e <= window_samples:
+            ci = i + 1
+        else:
+            break
+    new_text = text[:ci]
+    if ci < len(text) and not text[ci].isspace() and " " in new_text:
+        # truncation landed mid-word: drop the partial word
+        new_text = new_text.rsplit(" ", 1)[0]
+    new_text = new_text.rstrip()
+    ci = len(new_text)
+    n_words = len(new_text.split()) if new_text else 0
+    new_trans = (" ".join(translation.split()[:n_words])
+                 if translation and n_words else None)
+    return (samples[:window_samples], new_text, new_trans,
+            list(spans[:ci]))
+
+
+def eval_set(n: int = 64, seed: int = 10_000_019,
+             clean: bool = False) -> List[SynthExample]:
+    """Held-out synthetic eval examples: the seed space is disjoint from any
+    training stream seeded below 10_000_000."""
+    rng = np.random.default_rng(seed)
+    return [make_example(rng, clean=clean) for _ in range(n)]

@@ -1,0 +1,236 @@
+"""Synthetic-corpus multi-task training: the round-2 path to a real
+checkpoint (VERDICT r1 #2).
+
+Trains every head at once — byte CTC, frame LID (code-switch aware),
+emotion, AAM-softmax speaker, and the X->English translation decoder —
+on the unbounded formant-speech stream from train/synth.py plus the real
+gettysburg windows, with held-out evaluation (synthetic seeds disjoint from
+training, plus the final 25% of gettysburg never trained on).
+
+    python -m omnilingual_asr_tpu.train.synth_train --steps 20000 \
+        --batch-size 16 --ckpt-dir /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MeshConfig, PipelineConfig, tiny_config
+from ..models.conformer import asr_forward
+from ..ops.ctc import collapse_ctc
+from ..parallel.mesh import build_mesh
+from ..utils.metrics import aggregate_wer
+from .augment import SpecAugmentConfig
+from .step import make_optimizer, make_train_step
+from .synth import SynthBatcher, eval_set, real_corpus
+
+
+def _ids_to_text(frame_ids: np.ndarray, vocab) -> str:
+    units = collapse_ctc(frame_ids, blank_id=vocab.blank_id)
+    byte_vals = [vocab.id_to_byte(u.byte_id) for u in units]
+    byte_vals = [b for b in byte_vals if 0 <= b < 256]
+    return bytes(byte_vals).decode("utf-8", errors="replace")
+
+
+class Evaluator:
+    """Greedy-CTC WER/CER on fixed held-out sets, via one jitted forward."""
+
+    def __init__(self, cfg: PipelineConfig, *, window_seconds: float,
+                 n_synth: int = 48, batch: int = 8):
+        self.cfg = cfg
+        fe = cfg.frontend
+        self.window_samples = int(window_seconds * fe.sample_rate)
+        n_frames = fe.frames_for_samples(self.window_samples)
+        sub = cfg.encoder.subsample_factor
+        self.window_frames = ((n_frames + sub - 1) // sub) * sub
+        self.batch = batch
+
+        from .synth import trim_to_window
+
+        synth = eval_set(n_synth)
+        trimmed = [trim_to_window(e, self.window_samples) for e in synth]
+        self.sets: Dict[str, List[Tuple[np.ndarray, str]]] = {
+            "synth": [(x, t) for (x, t, _, _) in trimmed if t],
+        }
+        _, real_eval = real_corpus(window_s=window_seconds)
+        if real_eval:
+            self.sets["gettysburg_heldout"] = [
+                (w["samples"], w["text"]) for w in real_eval
+                if w["language"] == "English"]
+
+        from ..ops.mel_pallas import MelFrontend, log_mel_frames_pallas
+
+        fe_dev = MelFrontend(cfg.frontend)
+        wf = self.window_frames
+
+        def forward(params, samples, n_valid):
+            frames = jax.vmap(
+                lambda x: fe_dev.frames_from_signal(x)[0])(samples)
+            B, T_pad, n_fft = frames.shape
+            mel = log_mel_frames_pallas(
+                frames.reshape(B * T_pad, n_fft), fe_dev.cw, fe_dev.sw,
+                fe_dev.fb, cfg.frontend, interpret=fe_dev.interpret)
+            mel = mel.reshape(B, T_pad, -1)[:, :wf]
+            mask = jnp.arange(wf)[None, :] < n_valid[:, None]
+            out = asr_forward(params, mel, mask, cfg)
+            n_real = 1 + cfg.vocab.n_bytes
+            ids = jnp.argmax(out["ctc_logits"][..., :n_real], axis=-1)
+            return ids.astype(jnp.int32), out["mask"]
+
+        self._forward = jax.jit(forward)
+
+    def _decode_batch(self, params, samples_list) -> List[str]:
+        fe = self.cfg.frontend
+        out: List[str] = []
+        for b0 in range(0, len(samples_list), self.batch):
+            chunk = samples_list[b0:b0 + self.batch]
+            B = len(chunk)
+            x = np.zeros((self.batch, self.window_samples), np.float32)
+            nv = np.zeros(self.batch, np.int32)
+            for i, s in enumerate(chunk):
+                n = min(len(s), self.window_samples)
+                x[i, :n] = s[:n]
+                nv[i] = fe.frames_for_samples(n)
+            ids, mask = self._forward(params, jnp.asarray(x), jnp.asarray(nv))
+            ids = np.asarray(ids)
+            mask = np.asarray(mask)
+            for i in range(B):
+                nf = int(mask[i].sum())
+                out.append(_ids_to_text(ids[i, :nf], self.cfg.vocab))
+        return out
+
+    def run(self, params) -> Dict[str, Dict[str, float]]:
+        report: Dict[str, Dict[str, float]] = {}
+        for name, items in self.sets.items():
+            hyps = self._decode_batch(params, [s for s, _ in items])
+            pairs = [(t, h) for (_, t), h in zip(items, hyps)]
+            report[name] = aggregate_wer(pairs)
+        return report
+
+
+def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
+                lr: float = 2e-3, window_seconds: float = 8.0,
+                ckpt_dir: Optional[str] = None, log_every: int = 50,
+                eval_every: int = 1000, seed: int = 0,
+                warmup_steps: int = 1000,
+                resume_from: Optional[str] = None,
+                metrics_log: Optional[str] = None):
+    mesh = build_mesh(cfg.mesh)
+    batcher = SynthBatcher(cfg, batch_size=batch_size,
+                           window_seconds=window_seconds, seed=seed)
+    sample = next(iter(batcher))
+    init_state, train_step = make_train_step(
+        cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps),
+        from_samples=True, batch_keys=tuple(sample.keys()),
+        with_translator=True,
+        augment=SpecAugmentConfig())
+    state = init_state(seed=seed)
+    params, opt_state, step = state.params, state.opt_state, state.step
+    if resume_from:
+        from ..models.translation import load_translator
+        from ..models.zoo import load_checkpoint
+
+        asr = load_checkpoint(Path(resume_from) / "asr", cfg)
+        trans = load_translator(Path(resume_from) / "translator", cfg)
+        params = jax.device_put(
+            {"asr": asr, "translator": trans},
+            jax.tree.map(lambda x: x.sharding, params))
+        print(f"resumed params from {resume_from}", flush=True)
+
+    evaluator = Evaluator(cfg, window_seconds=window_seconds)
+    best_wer = float("inf")
+    mlog = open(metrics_log, "a") if metrics_log else None
+
+    def save(tag: str):
+        if not ckpt_dir:
+            return
+        from ..models.translation import save_translator
+        from ..models.zoo import save_checkpoint
+
+        host = jax.device_get(params)
+        out = Path(ckpt_dir) / tag
+        save_checkpoint(out / "asr", host["asr"])
+        save_translator(out / "translator", host["translator"])
+        print(f"saved checkpoint -> {out}", flush=True)
+
+    t0 = time.perf_counter()
+    audio_s = 0.0
+    try:
+        for i, batch in enumerate(batcher):
+            if i >= steps:
+                break
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, step, metrics = train_step(
+                params, opt_state, dev_batch, step)
+            audio_s += float(batch["mask"].sum()) * cfg.frontend.hop_length \
+                / cfg.frontend.sample_rate
+            if (i + 1) % log_every == 0:
+                m = {k: round(float(v), 4) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                line = {"step": i + 1, **m,
+                        "steps_per_s": round((i + 1) / dt, 2),
+                        "audio_h": round(audio_s / 3600, 2)}
+                print(json.dumps(line), flush=True)
+                if mlog:
+                    mlog.write(json.dumps(line) + "\n")
+                    mlog.flush()
+            if (i + 1) % eval_every == 0 or i + 1 == steps:
+                host = jax.device_get(params)
+                report = evaluator.run(host["asr"])
+                rline = {"step": i + 1, "eval": {
+                    k: {m: round(v, 4) for m, v in r.items()}
+                    for k, r in report.items()}}
+                print(json.dumps(rline), flush=True)
+                if mlog:
+                    mlog.write(json.dumps(rline) + "\n")
+                    mlog.flush()
+                w = report.get("synth", {}).get("wer", float("inf"))
+                if w < best_wer:
+                    best_wer = w
+                    save("best")
+                save("last")
+    finally:
+        batcher.close()
+        if mlog:
+            mlog.close()
+    return params, best_wer
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        description="Multi-task training on the synthetic corpus")
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--warmup-steps", type=int, default=1000)
+    ap.add_argument("--window-seconds", type=float, default=8.0)
+    ap.add_argument("--mesh-data", type=int, default=-1)
+    ap.add_argument("--mesh-model", type=int, default=1)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--metrics-log", default=None)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    cfg = tiny_config() if args.tiny else PipelineConfig()
+    cfg = cfg.replace(mesh=MeshConfig(data=args.mesh_data,
+                                      model=args.mesh_model))
+    train_synth(steps=args.steps, batch_size=args.batch_size, cfg=cfg,
+                lr=args.lr, window_seconds=args.window_seconds,
+                ckpt_dir=args.ckpt_dir, eval_every=args.eval_every,
+                seed=args.seed, warmup_steps=args.warmup_steps,
+                resume_from=args.resume_from, metrics_log=args.metrics_log)
+
+
+if __name__ == "__main__":
+    main()
