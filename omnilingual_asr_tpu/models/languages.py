@@ -7,10 +7,14 @@ gemini_pipeline.py:164-175). Locally the LID head emits class ids; this table
 maps ids to ``{"name": ..., "code": ...}`` dicts in the exact shape the
 schema uses.
 
-Ids 0..len(KNOWN_LANGUAGES)-1 are curated (ISO 639-1 where one exists,
-else 639-3). The head is sized N_LANGS=2048; ids beyond the curated list
-decode as ("Language <id>", "und") until the inventory is extended, so the
-contract never breaks on an untrained/partially-trained head.
+Ids 0..258 are curated (ISO 639-1 where one exists, else 639-3; ordering
+chosen so common languages get small ids). Ids 259..2047 continue with ISO
+639-3 living individual languages (languages_data.py, generated from the
+Debian iso-codes table), filling the N_LANGS=2048 head entirely with real
+languages — 2048 >= the 1600+ the reference claims (README.md:96-107).
+language_for_id therefore never fabricates a name for any id the head can
+emit; ids outside the head range still fall back to ("Language <id>",
+"und") so the contract can't break.
 """
 
 from __future__ import annotations
@@ -99,6 +103,12 @@ KNOWN_LANGUAGES: List[Tuple[str, str]] = [
     ("Tulu", "tcy"), ("Newari", "new"),
 ]
 
+CURATED_COUNT = len(KNOWN_LANGUAGES)
+
+from .languages_data import EXTENDED  # noqa: E402
+
+KNOWN_LANGUAGES = KNOWN_LANGUAGES + EXTENDED
+
 
 def language_for_id(lang_id: int) -> Dict[str, str]:
     """LID class id -> {"name", "code"} (schema shape,
@@ -109,8 +119,13 @@ def language_for_id(lang_id: int) -> Dict[str, str]:
     return {"name": f"Language {lang_id}", "code": "und"}
 
 
-_BY_CODE = {code: i for i, (_, code) in enumerate(KNOWN_LANGUAGES)}
-_BY_NAME = {name.lower(): i for i, (name, _) in enumerate(KNOWN_LANGUAGES)}
+# First occurrence wins so curated ids take priority over the extended
+# table (ISO 639-3 has some duplicate display names).
+_BY_CODE: Dict[str, int] = {}
+_BY_NAME: Dict[str, int] = {}
+for _i, (_name, _code) in enumerate(KNOWN_LANGUAGES):
+    _BY_CODE.setdefault(_code, _i)
+    _BY_NAME.setdefault(_name.lower(), _i)
 
 
 def id_for_language(hint: str) -> int:

@@ -106,3 +106,27 @@ class TestLanguages:
     def test_lisu_present(self):
         # needed for the bundled "Samuel Speaking Lisu.mp3" config
         assert id_for_language("lis") >= 0
+
+    def test_full_head_range_is_real_languages(self):
+        # VERDICT r1 #6: the whole N_LANGS head decodes to real languages
+        # (reference claims 1600+, README.md:96-107) — no "Language N"
+        # fabrication inside the head range.
+        from omnilingual_asr_tpu.models.conformer import N_LANGS
+
+        assert len(KNOWN_LANGUAGES) == N_LANGS == 2048
+        for i in range(N_LANGS):
+            d = language_for_id(i)
+            assert d["code"] != "und"
+            assert not d["name"].startswith("Language ")
+
+    def test_curated_prefix_stable(self):
+        # ids of the curated languages must never shift (trained checkpoints
+        # encode them)
+        from omnilingual_asr_tpu.models.languages import CURATED_COUNT
+
+        assert CURATED_COUNT == 259
+        assert KNOWN_LANGUAGES[1] == ("Mandarin Chinese", "zh")
+        assert KNOWN_LANGUAGES[258] == ("Newari", "new")
+        # extended region is alphabetical by code
+        ext = [c for _, c in KNOWN_LANGUAGES[CURATED_COUNT:]]
+        assert ext == sorted(ext)
