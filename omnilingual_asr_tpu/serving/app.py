@@ -125,9 +125,12 @@ class OmniServer:
                 if self._engine_factory is not None:
                     self._engine = self._engine_factory()
                 else:
+                    import os
+
                     from ..engine import TranscriptionEngine
 
-                    self._engine = TranscriptionEngine()
+                    self._engine = TranscriptionEngine(
+                        long_mode=os.getenv("OMNIASR_LONG_MODE", "window"))
             return self._engine
 
     # -- middleware ------------------------------------------------------
@@ -258,8 +261,13 @@ class OmniServer:
                 q: queue.Queue = queue.Queue()
                 done = object()
 
-                def cb(step: str, idx: int):
-                    q.put({"step": step, "index": idx, "file_name": display})
+                def cb(step: str, idx: int, fraction: float = None):
+                    item = {"step": step, "index": idx, "file_name": display}
+                    if fraction is not None:
+                        # intra-step progress (device batches completed /
+                        # total) — keeps long files moving past step 1
+                        item["fraction"] = round(fraction, 4)
+                    q.put(item)
 
                 holder: Dict[str, Any] = {}
 
@@ -383,10 +391,14 @@ class OmniServer:
 
                 def work(i: int, path: Path, display: str):
                     with sem:
-                        def cb(step: str, idx: int):
-                            q.put({"step": step, "index": idx,
-                                   "file_index": i, "file_count": file_count,
-                                   "file_name": display})
+                        def cb(step: str, idx: int, fraction: float = None):
+                            item = {"step": step, "index": idx,
+                                    "file_index": i,
+                                    "file_count": file_count,
+                                    "file_name": display}
+                            if fraction is not None:
+                                item["fraction"] = round(fraction, 4)
+                            q.put(item)
                         try:
                             entry = self._transcribe_to_entry(
                                 path, display,

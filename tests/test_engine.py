@@ -50,6 +50,23 @@ class TestEngineContract:
         assert steps == [("uploading", 0), ("transcribing", 1),
                          ("processing", 2), ("done", 3)]
 
+    def test_fractional_progress_opt_in(self, engine, speech_wav):
+        # 3-arg callbacks receive intra-step fractions per device batch
+        # (VERDICT r1 #5); monotonic and ending at 1.0.
+        calls = []
+
+        def cb(step, idx, fraction=None):
+            calls.append((step, idx, fraction))
+
+        engine.transcribe(speech_wav, progress_callback=cb)
+        fracs = [f for s, i, f in calls if f is not None and s == "transcribing"]
+        assert fracs, "no fractional progress emitted"
+        assert fracs == sorted(fracs) and fracs[-1] == 1.0
+        # the plain 4-step sequence is still present, in order
+        plain = [(s, i) for s, i, f in calls if f is None]
+        assert plain == [("uploading", 0), ("transcribing", 1),
+                         ("processing", 2), ("done", 3)]
+
     def test_result_shapes(self, engine, speech_wav):
         res = engine.transcribe(speech_wav)
         assert res.summary is None or isinstance(res.summary, str)

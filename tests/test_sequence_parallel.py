@@ -49,6 +49,19 @@ class TestSequenceParallel:
                                               mesh)["ctc_logits"])
         np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
 
+    def test_all_heads(self):
+        """all_heads=True emits the full schema's heads, matching dense."""
+        cfg, params, mel, mask = setup(T=512)
+        dense = asr_forward(params, mel[None], mask[None], cfg)
+        got = sp_conformer_forward(params, mel, mask, cfg, seq_mesh(4),
+                                   all_heads=True)
+        for key, dkey in (("lid_logits", "lid_logits"),
+                          ("emotion_logits", "emotion_logits"),
+                          ("speaker_frames", "speaker_frames")):
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(dense[dkey][0]),
+                atol=5e-3, rtol=5e-3)
+
     def test_ragged_tail(self):
         """Trailing padding frames (mask False) must not disturb valid
         outputs across shard boundaries."""
@@ -63,3 +76,89 @@ class TestSequenceParallel:
         nvalid = 400 // cfg.encoder.subsample_factor
         np.testing.assert_allclose(got[:nvalid], want[:nvalid],
                                    atol=5e-3, rtol=5e-3)
+
+
+class TestEngineSequenceMode:
+    """engine(long_mode='sequence'): a >30 s file through ONE mesh-sharded
+    sequence produces the full schema (VERDICT r1 #3)."""
+
+    def _make_engine(self, long_mode):
+        import dataclasses as dc
+
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        cfg = tiny_config()
+        cfg = cfg.replace(encoder=dc.replace(cfg.encoder, dtype="float32"))
+        params = asr_init(jax.random.PRNGKey(0), cfg)
+        return TranscriptionEngine(config=cfg, params=params,
+                                   window_seconds=10.0,
+                                   batch_windows_per_device=1,
+                                   long_mode=long_mode), cfg, params
+
+    def test_full_schema_long_file(self, tmp_path):
+        import wave
+
+        from omnilingual_asr_tpu.types import EMOTIONS
+
+        eng, cfg, params = self._make_engine("sequence")
+        sr = cfg.frontend.sample_rate
+        rng = np.random.default_rng(1)
+        t = np.arange(40 * sr) / sr  # 40 s > the 10 s window
+        x = (0.3 * np.sin(2 * np.pi * 150 * t)
+             * (1 + 0.6 * np.sin(2 * np.pi * 2.5 * t))
+             + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+        p = tmp_path / "long.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((x * 20000).astype("<i2").tobytes())
+
+        res = eng.transcribe(str(p))
+        assert res.segments, "sequence mode produced no segments"
+        assert res.summary
+        for seg in res.segments:
+            assert seg.end > seg.start
+            assert seg.speaker.startswith("Speaker ")
+            assert seg.emotion in EMOTIONS
+            assert seg.language and seg.language_code
+            assert seg.languages and seg.languages[0]["code"]
+        # timestamps span beyond one window: no 10 s ceiling
+        assert res.segments[-1].end > 10.0
+
+    def test_sequence_matches_dense_ctc(self, tmp_path):
+        """The engine's SP decode must equal a dense single-sequence
+        forward on the exact full-file mel (ground truth — the windowed
+        path legitimately differs at window boundaries)."""
+        eng, cfg, params = self._make_engine("sequence")
+        sr = cfg.frontend.sample_rate
+        rng = np.random.default_rng(2)
+        x = (0.2 * rng.standard_normal(25 * sr)).astype(np.float32)
+
+        outs = eng._forward_sequence(x)
+        assert len(outs) == 1
+        got_ids = outs[0]["ctc_ids"]
+
+        # dense reference on the same exact mel
+        import dataclasses as dc
+
+        from omnilingual_asr_tpu.ops.mel_pallas import MelFrontend
+
+        fe = MelFrontend(dc.replace(cfg.frontend, preemphasis=0.0))
+        pe = np.concatenate(
+            [x[:1], x[1:] - cfg.frontend.preemphasis * x[:-1]])
+        mel = np.asarray(fe(jnp.asarray(pe)))
+        nf = cfg.frontend.frames_for_samples(len(x))
+        sub = cfg.encoder.subsample_factor
+        T = ((nf + sub - 1) // sub) * sub
+        mel_t = np.zeros((T, mel.shape[1]), np.float32)
+        mel_t[:nf] = mel[:nf]
+        mask = np.arange(T) < nf
+        dense = asr_forward(params, jnp.asarray(mel_t)[None],
+                            jnp.asarray(mask)[None], cfg)
+        n_real = 1 + cfg.vocab.n_bytes
+        want_ids = np.argmax(
+            np.asarray(dense["ctc_logits"][0])[:, :n_real], axis=-1)
+        nvalid = len(got_ids)
+        agree = (got_ids == want_ids[:nvalid]).mean()
+        assert agree > 0.98, f"SP vs dense argmax agreement {agree:.3f}"
