@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -54,13 +55,77 @@ def _conv_kernel(K, dtype, x_ref, mask_ref, ln_s, ln_b, pw1_ref, dw_ref,
     o_ref[0] = (x + out).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv_module_ref(x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
+                     dwln_bias, pw2):
+    """Plain-XLA twin of the kernel math (same bf16 matmul dtype), used by
+    the custom VJP: the backward recomputes through this and differentiates
+    it, so training can run the fused kernel forward while grads match the
+    XLA path exactly (VERDICT r1 #8)."""
+    dtype = jnp.bfloat16
+    xf = x.astype(jnp.float32)
+    h = _ln(xf, ln_scale[None, None, :], ln_bias[None, None, :])
+    g = jnp.dot(h.astype(dtype), pw1.astype(dtype),
+                preferred_element_type=jnp.float32)
+    D = x.shape[-1]
+    glu = g[..., :D] * jax.nn.sigmoid(g[..., D:])
+    glu = glu * mask.astype(jnp.float32)[:, :, None]
+    K = dw.shape[0]
+    pad_l = (K - 1) // 2
+    padded = jnp.pad(glu, ((0, 0), (pad_l, K - 1 - pad_l), (0, 0)))
+    T = x.shape[1]
+    out = jnp.zeros_like(glu)
+    for k in range(K):
+        out = out + padded[:, k:k + T, :] * dw[k][None, None, :]
+    out = _ln(out, dwln_scale[None, None, :], dwln_bias[None, None, :])
+    out = jax.nn.silu(out)
+    out = jnp.dot(out.astype(dtype), pw2.astype(dtype),
+                  preferred_element_type=jnp.float32)
+    return (xf + out).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _fused_conv_vjp(x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
+                    dwln_bias, pw2, interpret):
+    return _fused_conv_fwd_kernel_call(x, mask, ln_scale, ln_bias, pw1, dw,
+                                       dwln_scale, dwln_bias, pw2, interpret)
+
+
 def fused_conv_module(x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
                       dwln_bias, pw2, interpret: bool = False):
     """x: [B, T, D] f32; mask: [B, T] bool; weights as in convmod params.
 
-    Returns [B, T, D] f32 (residual included).
+    Returns [B, T, D] f32 (residual included). Differentiable: the forward
+    runs the fused Pallas kernel; the backward rematerializes through the
+    plain-XLA twin (same memory profile as the non-fused path).
     """
+    return _fused_conv_vjp(x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
+                           dwln_bias, pw2, interpret)
+
+
+def _fused_conv_fwd(x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
+                    dwln_bias, pw2, interpret):
+    out = _fused_conv_fwd_kernel_call(x, mask, ln_scale, ln_bias, pw1, dw,
+                                      dwln_scale, dwln_bias, pw2, interpret)
+    return out, (x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale,
+                 dwln_bias, pw2)
+
+
+def _fused_conv_bwd(interpret, res, g):
+    (x, mask, ln_scale, ln_bias, pw1, dw, dwln_scale, dwln_bias, pw2) = res
+    _, vjp = jax.vjp(_conv_module_ref, x, mask, ln_scale, ln_bias, pw1, dw,
+                     dwln_scale, dwln_bias, pw2)
+    grads = list(vjp(g))
+    grads[1] = np.zeros(mask.shape, dtype=jax.dtypes.float0)  # bool mask
+    return tuple(grads)
+
+
+_fused_conv_vjp.defvjp(_fused_conv_fwd, _fused_conv_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_conv_fwd_kernel_call(x, mask, ln_scale, ln_bias, pw1, dw,
+                                dwln_scale, dwln_bias, pw2,
+                                interpret: bool = False):
     B, T, D = x.shape
     K = dw.shape[0]
     dtype = jnp.bfloat16

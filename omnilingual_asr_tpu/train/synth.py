@@ -604,7 +604,8 @@ class SynthBatcher:
                  seed: int = 0, real_fraction: float = 0.15,
                  codeswitch_fraction: float = 0.1,
                  reference_dir: str | Path = "/root/reference",
-                 prefetch: int = 4, n_threads: int = 4):
+                 prefetch: int = 4, n_threads: int = 4,
+                 frame_multiple: int = 0):
         import queue
         import threading
 
@@ -618,7 +619,10 @@ class SynthBatcher:
         self.window_samples = int(window_seconds * fe.sample_rate)
         n_frames = fe.frames_for_samples(self.window_samples)
         sub = cfg.encoder.subsample_factor
-        self.window_frames = ((n_frames + sub - 1) // sub) * sub
+        # frame_multiple > sub pads T so T/sub tiles Pallas blocks
+        # (e.g. 256*sub enables the flash-attention training path)
+        mult = max(frame_multiple, sub)
+        self.window_frames = ((n_frames + mult - 1) // mult) * mult
         self.sub = sub
         self.real_fraction = real_fraction
         self.codeswitch_fraction = codeswitch_fraction

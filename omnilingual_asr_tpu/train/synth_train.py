@@ -44,13 +44,15 @@ class Evaluator:
     """Greedy-CTC WER/CER on fixed held-out sets, via one jitted forward."""
 
     def __init__(self, cfg: PipelineConfig, *, window_seconds: float,
-                 n_synth: int = 48, batch: int = 8):
+                 n_synth: int = 48, batch: int = 8,
+                 frame_multiple: int = 0):
         self.cfg = cfg
         fe = cfg.frontend
         self.window_samples = int(window_seconds * fe.sample_rate)
         n_frames = fe.frames_for_samples(self.window_samples)
         sub = cfg.encoder.subsample_factor
-        self.window_frames = ((n_frames + sub - 1) // sub) * sub
+        mult = max(frame_multiple, sub)
+        self.window_frames = ((n_frames + mult - 1) // mult) * mult
         self.batch = batch
 
         from .synth import trim_to_window
@@ -122,10 +124,27 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 eval_every: int = 1000, seed: int = 0,
                 warmup_steps: int = 1000,
                 resume_from: Optional[str] = None,
-                metrics_log: Optional[str] = None):
+                metrics_log: Optional[str] = None,
+                pallas_kernels: bool = False):
     mesh = build_mesh(cfg.mesh)
+    frame_multiple = 0
+    if pallas_kernels:
+        # train through the Pallas flash-attention + fused-conv kernels
+        # (custom VJPs, ops/attention.py + ops/conv_module.py): pad T so
+        # T/sub tiles the flash Q blocks. TPU-only (Mosaic lowering).
+        import dataclasses as _dc
+
+        from ..ops.attention import BLOCK_Q
+
+        if jax.default_backend() != "tpu":
+            raise SystemExit("--pallas-kernels requires a TPU backend")
+        sub = cfg.encoder.subsample_factor
+        frame_multiple = BLOCK_Q * sub
+        cfg = cfg.replace(encoder=_dc.replace(
+            cfg.encoder, use_flash_attention=True, use_fused_conv=True))
     batcher = SynthBatcher(cfg, batch_size=batch_size,
-                           window_seconds=window_seconds, seed=seed)
+                           window_seconds=window_seconds, seed=seed,
+                           frame_multiple=frame_multiple)
     sample = next(iter(batcher))
     init_state, train_step = make_train_step(
         cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps),
@@ -145,7 +164,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
             jax.tree.map(lambda x: x.sharding, params))
         print(f"resumed params from {resume_from}", flush=True)
 
-    evaluator = Evaluator(cfg, window_seconds=window_seconds)
+    evaluator = Evaluator(cfg, window_seconds=window_seconds,
+                          frame_multiple=frame_multiple)
     best_wer = float("inf")
     mlog = open(metrics_log, "a") if metrics_log else None
 
@@ -219,6 +239,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
     ap.add_argument("--metrics-log", default=None)
+    ap.add_argument("--pallas-kernels", action="store_true",
+                    help="train through the flash-attention + fused-conv "
+                         "Pallas kernels (TPU only; pads T to tile blocks)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -229,7 +252,8 @@ def main():
                 lr=args.lr, window_seconds=args.window_seconds,
                 ckpt_dir=args.ckpt_dir, eval_every=args.eval_every,
                 seed=args.seed, warmup_steps=args.warmup_steps,
-                resume_from=args.resume_from, metrics_log=args.metrics_log)
+                resume_from=args.resume_from, metrics_log=args.metrics_log,
+                pallas_kernels=args.pallas_kernels)
 
 
 if __name__ == "__main__":

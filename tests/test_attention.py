@@ -61,3 +61,69 @@ class TestFlashAttention:
         got = np.asarray(flash_attention(q, k, v, mask, interpret=True))
         want = np.asarray(reference_attention(q, k, v, mask))
         np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+class TestFlashAttentionGrad:
+    """Custom Pallas VJP vs grads of the XLA reference (VERDICT r1 #8)."""
+
+    def _loss_pair(self, mask):
+        import jax
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, mask, interpret=True)
+            return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+        def loss_ref(q, k, v):
+            # the mask is KEY validity: every query row is computed, so the
+            # plain reference loss matches (fully-masked key sets are the
+            # only divergence and are tested separately)
+            out = reference_attention(q, k, v, mask)
+            return jnp.sum(jnp.sin(out))
+
+        return jax.grad(loss_flash, (0, 1, 2)), jax.grad(loss_ref, (0, 1, 2))
+
+    def test_grads_match_reference_full_mask(self, rng):
+        import jax
+
+        q, k, v = make_qkv(rng, B=1, T=512, H=2, D=64)
+        mask = jnp.ones((1, 512), bool)
+        gf, gr = self._loss_pair(mask)
+        got = gf(q, k, v)
+        want = gr(q, k, v)
+        for g, w, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=3e-4, rtol=1e-3, err_msg=name)
+
+    def test_grads_match_reference_ragged_mask(self, rng):
+        q, k, v = make_qkv(rng, B=2, T=512, H=2, D=64)
+        mask = np.zeros((2, 512), bool)
+        mask[0, :280] = True
+        mask[1, :] = True
+        mask = jnp.asarray(mask)
+        gf, gr = self._loss_pair(mask)
+        got = gf(q, k, v)
+        want = gr(q, k, v)
+        for g, w, name in zip(got, want, "qkv"):
+            g, w = np.asarray(g), np.asarray(w)
+            assert np.isfinite(g).all(), name
+            np.testing.assert_allclose(g, w, atol=3e-4, rtol=1e-3,
+                                       err_msg=name)
+        # masked keys receive no gradient
+        assert np.abs(np.asarray(got[1])[0, 280:]).max() == 0.0
+        assert np.abs(np.asarray(got[2])[0, 280:]).max() == 0.0
+
+    def test_fully_masked_batch_grads_finite(self, rng):
+        import jax
+
+        q, k, v = make_qkv(rng, B=1, T=256, H=2, D=64)
+        mask = jnp.zeros((1, 256), bool)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, mask,
+                                           interpret=True) ** 2)
+
+        gq, gk, gv = jax.grad(loss, (0, 1, 2))(q, k, v)
+        for g in (gq, gk, gv):
+            g = np.asarray(g)
+            assert np.isfinite(g).all()
+            assert np.abs(g).max() == 0.0  # zero output, zero grads
