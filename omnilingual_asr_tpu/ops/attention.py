@@ -73,7 +73,7 @@ def _flash_fwd_lse_kernel(scale, block_k, q_ref, k_ref, v_ref, mask_ref,
     lse = jnp.where(l[:, 0] > 0, m[:, 0] + jnp.log(jnp.maximum(l[:, 0],
                                                                1e-30)),
                     jnp.float32(1e30))
-    lse_ref[0] = lse
+    lse_ref[0, 0] = lse
 
 
 def _flash_bwd_dq_kernel(scale, block_k, q_ref, k_ref, v_ref, mask_ref,
@@ -83,8 +83,8 @@ def _flash_bwd_dq_kernel(scale, block_k, q_ref, k_ref, v_ref, mask_ref,
     n_k = T // block_k
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
 
     def body(j, dq):
         k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
@@ -120,8 +120,8 @@ def _flash_bwd_dkv_kernel(scale, block_q, q_ref, k_ref, v_ref, mask_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(j * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(j * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(j * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(j * block_q, block_q)][:, None]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale    # [BQ, Tk]
@@ -168,12 +168,12 @@ def _fwd_lse(qb, kb, vb, maskb, scale, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK_Q, D), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda b, i: (b, i),
+            pl.BlockSpec((1, 1, BLOCK_Q), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, T, D), qb.dtype),
-            jax.ShapeDtypeStruct((BH, T), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, T), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * T * T * D,
@@ -204,11 +204,9 @@ def _flash_bh_bwd(interpret, res, do):
     scale = 1.0 / math.sqrt(D)
     # delta_i = sum_d dO_id * O_id (tiny elementwise — plain XLA)
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)                                # [BH, T]
+                    axis=-1)[:, None, :]                    # [BH, 1, T]
     whole = lambda b, i: (b, 0, 0)  # noqa: E731
     blk = lambda b, i: (b, i, 0)    # noqa: E731
-    row_blk = lambda b, i: (b, i)   # noqa: E731
-    row_whole = lambda b, i: (b, 0)  # noqa: E731
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale, BLOCK_K),
@@ -219,8 +217,10 @@ def _flash_bh_bwd(interpret, res, do):
             pl.BlockSpec((1, T, D), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q, D), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), row_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), row_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BLOCK_Q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, D), blk,
                                memory_space=pltpu.VMEM),
@@ -243,8 +243,8 @@ def _flash_bh_bwd(interpret, res, do):
             pl.BlockSpec((1, 1, BLOCK_K), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, D), whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), row_whole, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), row_whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), whole, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK_K, D), blk, memory_space=pltpu.VMEM),

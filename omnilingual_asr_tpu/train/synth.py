@@ -434,7 +434,9 @@ class SynthExample:
 def make_example(rng: np.random.Generator, *,
                  min_words: int = 3, max_words: int = 10,
                  languages: Sequence[SynthLanguage] = LANGUAGES,
-                 clean: bool = False) -> SynthExample:
+                 clean: bool = False,
+                 snr_range: Tuple[float, float] = (8.0, 40.0)
+                 ) -> SynthExample:
     lang = languages[int(rng.integers(len(languages)))]
     lex = lexicon(lang)
     n_words = int(rng.integers(min_words, max_words + 1))
@@ -450,7 +452,7 @@ def make_example(rng: np.random.Generator, *,
     spans: List[Tuple[int, int]] = []
     samples = synth_utterance(
         text, speaker_id, emotion, seed=int(rng.integers(2**31)),
-        snr_db=None if clean else float(rng.uniform(8.0, 40.0)),
+        snr_db=None if clean else float(rng.uniform(*snr_range)),
         rate=float(rng.uniform(0.9, 1.15)),
         word_spans=spans)
     return SynthExample(samples=samples, text=text, language=lang.name,
@@ -605,7 +607,8 @@ class SynthBatcher:
                  codeswitch_fraction: float = 0.1,
                  reference_dir: str | Path = "/root/reference",
                  prefetch: int = 4, n_threads: int = 4,
-                 frame_multiple: int = 0):
+                 frame_multiple: int = 0,
+                 snr_range: Tuple[float, float] = (8.0, 40.0)):
         import queue
         import threading
 
@@ -625,6 +628,7 @@ class SynthBatcher:
         self.window_frames = ((n_frames + mult - 1) // mult) * mult
         self.sub = sub
         self.real_fraction = real_fraction
+        self.snr_range = snr_range
         self.codeswitch_fraction = codeswitch_fraction
         self._lang_id = lang_table.id_for_language
         self.real_train, self.real_eval = real_corpus(
@@ -674,7 +678,7 @@ class SynthBatcher:
                     "translation": ex.translation,
                     "char_spans": ex.char_spans,
                     "lid_span_langs": getattr(ex, "lid_span_langs", None)}
-        ex = make_example(rng)
+        ex = make_example(rng, snr_range=self.snr_range)
         return {"samples": ex.samples, "text": ex.text,
                 "language": ex.language, "emotion": ex.emotion,
                 "speaker_id": 2 + ex.speaker_id,

@@ -144,13 +144,18 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
             cfg.encoder, use_flash_attention=True, use_fused_conv=True))
     batcher = SynthBatcher(cfg, batch_size=batch_size,
                            window_seconds=window_seconds, seed=seed,
-                           frame_multiple=frame_multiple)
+                           frame_multiple=frame_multiple,
+                           n_threads=6, snr_range=(15.0, 40.0))
     sample = next(iter(batcher))
     init_state, train_step = make_train_step(
         cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps),
         from_samples=True, batch_keys=tuple(sample.keys()),
         with_translator=True,
-        augment=SpecAugmentConfig())
+        # milder than the ASR default: synthetic units are short (one char
+        # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
+        # words of supervision
+        augment=SpecAugmentConfig(n_freq_masks=1, freq_mask_width=16,
+                                  n_time_masks=1, time_mask_width=24))
     state = init_state(seed=seed)
     params, opt_state, step = state.params, state.opt_state, state.step
     if resume_from:
