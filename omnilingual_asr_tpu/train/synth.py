@@ -364,7 +364,10 @@ def synth_utterance(text: str, speaker_id: int, emotion: str = "neutral",
                 2 * np.pi * spk.vibrato_hz * t)
             inst_f0 = f0 * vib
             phase = 2 * np.pi * np.cumsum(inst_f0) / SAMPLE_RATE
-            n_harm = int(min(40, (SAMPLE_RATE / 2 - 200) // max(f0, 50.0)))
+            # cap harmonics at ~4.3 kHz: the formant envelope (F3 <= 3.2 kHz
+            # x 1.2 scale) + spectral tilt makes higher partials inaudible,
+            # and synthesis cost is linear in n_harm (single-core host)
+            n_harm = int(min(28, 4300.0 // max(f0, 50.0)))
             k = np.arange(1, n_harm + 1)
             amps = _formant_envelope(k * f0, u.f, spk.formant_scale, tilt)
             seg = (np.sin(phase[None, :] * k[:, None]) *
@@ -461,14 +464,15 @@ def make_example(rng: np.random.Generator, *,
                         char_spans=spans)
 
 
-def make_codeswitch_example(rng: np.random.Generator) -> SynthExample:
+def make_codeswitch_example(rng: np.random.Generator,
+                            clean: bool = False) -> SynthExample:
     """Two-language utterance (code-switching, reference prompt req #4) with
     per-char spans so frame LID labels switch mid-utterance."""
     la, lb = rng.choice(len(LANGUAGES), size=2, replace=False)
     a = make_example(rng, min_words=2, max_words=5,
-                     languages=[LANGUAGES[la]])
+                     languages=[LANGUAGES[la]], clean=clean)
     b = make_example(rng, min_words=2, max_words=5,
-                     languages=[LANGUAGES[lb]])
+                     languages=[LANGUAGES[lb]], clean=clean)
     gap = np.zeros(int(0.12 * SAMPLE_RATE), np.float32)
     samples = np.concatenate([a.samples, gap, b.samples])
     off = len(a.samples) + len(gap)
@@ -608,7 +612,8 @@ class SynthBatcher:
                  reference_dir: str | Path = "/root/reference",
                  prefetch: int = 4, n_threads: int = 4,
                  frame_multiple: int = 0,
-                 snr_range: Tuple[float, float] = (8.0, 40.0)):
+                 snr_range: Tuple[float, float] = (8.0, 40.0),
+                 reuse_pool: int = 0, reuse_p: float = 0.75):
         import queue
         import threading
 
@@ -635,6 +640,13 @@ class SynthBatcher:
             reference_dir, window_s=window_seconds)
         if not self.real_train:
             self.real_fraction = 0.0
+        # Reuse pool (single-core hosts): clean synthesized examples are
+        # re-drawn with FRESH noise/gain at collate time, so the expensive
+        # harmonic synthesis amortizes over ~1/(1-reuse_p) uses while the
+        # additive-noise augmentation stays unique per draw.
+        self._pool: List[dict] = []
+        self._pool_max = reuse_pool
+        self._reuse_p = reuse_p if reuse_pool else 0.0
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads = [
@@ -653,39 +665,47 @@ class SynthBatcher:
         return text_to_byte_labels(text, self.cfg.vocab, self.max_label_len)
 
     def _one(self, rng) -> dict:
+        """Fresh CLEAN example (noise/gain are applied per-draw in
+        _collate so pooled examples get unique augmentation)."""
         r = rng.random()
         if r < self.real_fraction:
             w = self.real_train[int(rng.integers(len(self.real_train)))]
-            samples = w["samples"]
-            # augment: gain + noise (speed perturb handled by synth side)
-            samples = samples * float(rng.uniform(0.6, 1.3))
-            if rng.random() < 0.5:
-                snr = float(rng.uniform(12.0, 35.0))
-                p = float(np.mean(samples ** 2)) + 1e-12
-                samples = samples + rng.standard_normal(
-                    len(samples)).astype(np.float32) * np.sqrt(
-                        p / 10 ** (snr / 10))
-            return {"samples": samples, "text": w["text"],
+            return {"samples": w["samples"], "text": w["text"],
                     "language": w["language"], "emotion": "neutral",
                     "speaker_id": 0 if w["language"] == "English" else 1,
                     "translation": None, "char_spans": None,
                     "lid_span_langs": None}
         if r < self.real_fraction + self.codeswitch_fraction:
-            ex = make_codeswitch_example(rng)
+            ex = make_codeswitch_example(rng, clean=True)
             return {"samples": ex.samples, "text": ex.text,
                     "language": ex.language, "emotion": ex.emotion,
                     "speaker_id": 2 + ex.speaker_id,
                     "translation": ex.translation,
                     "char_spans": ex.char_spans,
                     "lid_span_langs": getattr(ex, "lid_span_langs", None)}
-        ex = make_example(rng, snr_range=self.snr_range)
+        ex = make_example(rng, clean=True)
         return {"samples": ex.samples, "text": ex.text,
                 "language": ex.language, "emotion": ex.emotion,
                 "speaker_id": 2 + ex.speaker_id,
                 "translation": ex.translation, "char_spans": ex.char_spans,
                 "lid_span_langs": None}
 
-    def _collate(self, exs: List[dict]) -> Dict[str, np.ndarray]:
+    def _draw(self, rng) -> dict:
+        if (self._pool_max and len(self._pool) >= 64
+                and rng.random() < self._reuse_p
+                * min(1.0, len(self._pool) / 512.0)):
+            return self._pool[int(rng.integers(len(self._pool)))]
+        ex = self._one(rng)
+        if self._pool_max:
+            if len(self._pool) >= self._pool_max:
+                self._pool[int(rng.integers(len(self._pool)))] = ex
+            else:
+                self._pool.append(ex)
+        return ex
+
+    def _collate(self, exs: List[dict],
+                 rng: Optional[np.random.Generator] = None
+                 ) -> Dict[str, np.ndarray]:
         B = len(exs)
         fe = self.cfg.frontend
         samples = np.zeros((B, self.window_samples), np.float32)
@@ -712,7 +732,17 @@ class SynthBatcher:
             ex = dict(ex, samples=x, text=text, translation=translation,
                       char_spans=spans or None, lid_span_langs=span_langs)
             n = min(len(x), self.window_samples)
-            samples[b, :n] = x[:n]
+            row = x[:n]
+            if rng is not None:
+                # per-draw augmentation: gain + additive noise at a random
+                # SNR (examples may come from the clean reuse pool)
+                row = row * float(rng.uniform(0.7, 1.3))
+                p_sig = float(np.mean(row ** 2)) + 1e-12
+                snr = float(rng.uniform(*self.snr_range))
+                row = row + rng.standard_normal(n).astype(
+                    np.float32) * np.sqrt(p_sig / 10 ** (snr / 10))
+                np.clip(row, -1.0, 1.0, out=row)
+            samples[b, :n] = row
             n_valid = fe.frames_for_samples(n)
             mask[b, :n_valid] = True
             lab, lm = self._encode_text(ex["text"])
@@ -758,8 +788,8 @@ class SynthBatcher:
     def _producer(self, seed: int):
         rng = np.random.default_rng(seed)
         while not self._stop.is_set():
-            exs = [self._one(rng) for _ in range(self.batch_size)]
-            batch = self._collate(exs)
+            exs = [self._draw(rng) for _ in range(self.batch_size)]
+            batch = self._collate(exs, rng)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)

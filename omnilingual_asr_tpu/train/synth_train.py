@@ -145,7 +145,10 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
     batcher = SynthBatcher(cfg, batch_size=batch_size,
                            window_seconds=window_seconds, seed=seed,
                            frame_multiple=frame_multiple,
-                           n_threads=6, snr_range=(15.0, 40.0))
+                           n_threads=2, snr_range=(15.0, 40.0),
+                           # single-core host: reuse clean examples with
+                           # fresh per-draw noise/gain, amortizing synthesis
+                           reuse_pool=6144, reuse_p=0.8)
     sample = next(iter(batcher))
     init_state, train_step = make_train_step(
         cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps),
