@@ -70,6 +70,13 @@ class EncoderConfig:
     #                             activations in backward (memory <-> FLOPs)
     n_experts: int = 0          # >0: second FFN of each block becomes a
     #                             top-1 MoE with experts sharded over 'model'
+    moe_dispatch: str = "dense"  # 'dense': expert-sharded dense compute
+    #                              (models/moe.py, exact, comm-light);
+    #                              'alltoall': capacity-based all-to-all
+    #                              token dispatch (parallel/expert_dispatch,
+    #                              compute-optimal for large E) — needs the
+    #                              mesh threaded into asr_forward
+    moe_capacity_factor: float = 2.0  # per-(src,dst) capacity for alltoall
 
     @property
     def head_dim(self) -> int:

@@ -120,6 +120,8 @@ class TranscriptionEngine:
         enable_translation: bool = False,
         translator_params=None,
         translator_path: Optional[str] = None,
+        summarizer_params=None,
+        summarizer_path: Optional[str] = None,
         quantize: bool = False,
         long_mode: str = "window",
     ) -> None:
@@ -158,6 +160,22 @@ class TranscriptionEngine:
                 "available (pass translator_params/translator_path or set "
                 "OMNIASR_TRANSLATOR); translation stays disabled.",
                 stacklevel=2)
+        # Neural summarizer: same honest gating as translation — only a
+        # trained decoder may replace the schema-exact template summary
+        # (models/summarizer.py). Random-init free text would be noise.
+        self._summarizer = None
+        if summarizer_params is None:
+            summarizer_path = summarizer_path or os.getenv(
+                "OMNIASR_SUMMARIZER")
+            if summarizer_path:
+                from .models.translation import load_translator
+
+                summarizer_params = load_translator(
+                    summarizer_path, cfg, n_layers=2)
+        if summarizer_params is not None:
+            from .models.summarizer import SummaryDecoder
+
+            self._summarizer = SummaryDecoder(cfg, summarizer_params)
         if params is None:
             if cfg.checkpoint_path:
                 from .models.zoo import load_checkpoint
@@ -255,7 +273,12 @@ class TranscriptionEngine:
             frame_idx = jnp.arange(window_frames)[None, :]
             mask = frame_idx < n_valid_frames[:, None]  # [B, T]
             out = asr_forward(params, mel, mask, infer_cfg,
-                              flash_interpret=flash_interpret)
+                              flash_interpret=flash_interpret,
+                              # all-to-all MoE dispatch needs the mesh for
+                              # its shard_map (parallel/expert_dispatch.py)
+                              mesh=self.mesh if
+                              infer_cfg.encoder.moe_dispatch == "alltoall"
+                              else None)
             # Per-subsampled-frame energy (dB proxy) for host-side VAD
             # trimming (diarization/vad.py): logsumexp over mel bins, mean
             # over the stacking group. Tiny: [B, T'] f32.
@@ -285,9 +308,9 @@ class TranscriptionEngine:
                 topk_lp, topk_ids = jax.lax.top_k(logp, K)
                 ret["ctc_topk_logp"] = topk_lp
                 ret["ctc_topk_ids"] = topk_ids.astype(jnp.int32)
-            if self._translator is not None:
-                # Encoder states feed the translation decoder; only pulled
-                # to host when translation is enabled (12+ MB per batch).
+            if self._translator is not None or self._summarizer is not None:
+                # Encoder states feed the translation/summary decoders; only
+                # pulled to host when one is enabled (12+ MB per batch).
                 ret["encoder_states"] = out["encoder_states"]
             return ret
 
@@ -701,6 +724,15 @@ class TranscriptionEngine:
             n_segments=len(segments),
             language_names=[l["language"] for l in all_languages],
             top_emotion=top_emotion)
+        if self._summarizer is not None:
+            # Trained free-text summarizer (reference summaries are free
+            # text, gemini_pipeline.py:126-129); template is the fallback.
+            states = [w["encoder_states"] for w in window_outs
+                      if w.get("encoder_states") is not None]
+            if states:
+                neural = self._summarizer.summarize(states)
+                if neural:
+                    summary = neural
         return TranscriptionResult(
             summary=summary,
             segments=segments,

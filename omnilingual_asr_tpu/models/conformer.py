@@ -73,7 +73,11 @@ def conformer_block_spec(cfg: Optional[EncoderConfig] = None):
 
 
 def conformer_block_apply(p, x, mask, cos, sin, cfg: EncoderConfig, dtype,
-                          flash_interpret: bool = False):
+                          flash_interpret: bool = False, mesh=None):
+    """One conformer block. Returns (x, moe_aux) where moe_aux is the
+    Switch-style load-balance loss of this block's MoE FFN (0.0 for the
+    dense FFN and for all-to-all dispatch, whose training path is dense)."""
+    aux = jnp.zeros((), jnp.float32)
     x = L.ffn_apply(p["ffn1"], x, dtype)
     x = L.mhsa_apply(p["mhsa"], x, cfg.n_heads, mask, cos, sin, dtype,
                      use_flash=cfg.use_flash_attention,
@@ -88,14 +92,29 @@ def conformer_block_apply(p, x, mask, cos, sin, cfg: EncoderConfig, dtype,
     else:
         x = L.convmod_apply(p["conv"], x, mask, dtype)
     if cfg.n_experts > 0:
-        from .moe import moe_ffn_apply
+        if (cfg.moe_dispatch == "alltoall" and mesh is not None
+                and mesh.shape.get("model", 1) > 1):
+            # Communication-optimal EP: tokens all-to-all to the devices
+            # owning their experts within each data row
+            # (parallel/expert_dispatch.py). Compute per device is
+            # O(capacity * n_dev) tokens instead of O(all tokens * E_local).
+            from ..parallel.expert_dispatch import ep_moe_apply
 
-        # MoE aux loss is surfaced through asr_forward when needed;
-        # inference discards it.
-        x, _ = moe_ffn_apply(p["ffn2"], x)
+            B, T, D = x.shape
+            data_axis = "data" if mesh.shape.get("data", 1) > 1 else None
+            y = ep_moe_apply(p["ffn2"], x.reshape(B * T, D), mesh,
+                             capacity_factor=cfg.moe_capacity_factor,
+                             data_axis=data_axis)
+            x = y.reshape(B, T, D)
+        else:
+            from .moe import moe_ffn_apply
+
+            # Expert-sharded dense dispatch (exact); the load-balance aux
+            # flows to the training loss via asr_forward's "moe_aux".
+            x, aux = moe_ffn_apply(p["ffn2"], x)
     else:
         x = L.ffn_apply(p["ffn2"], x, dtype)
-    return L.layernorm_apply(p["ln_out"], x)
+    return L.layernorm_apply(p["ln_out"], x), aux
 
 
 def asr_init(key, cfg: PipelineConfig):
@@ -171,7 +190,8 @@ def subsampled_mask(mask: jnp.ndarray, sub: int) -> jnp.ndarray:
 
 
 def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
-                cfg: PipelineConfig, flash_interpret: bool = False):
+                cfg: PipelineConfig, flash_interpret: bool = False,
+                mesh=None):
     """Full forward pass.
 
     Args:
@@ -200,10 +220,12 @@ def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
         # backward pass instead of stored — the standard HBM saver for
         # long-sequence training (config.EncoderConfig.remat).
         block_fn = jax.checkpoint(conformer_block_apply,
-                                  static_argnums=(5, 6, 7))
+                                  static_argnums=(5, 6, 7, 8))
+    moe_aux = jnp.zeros((), jnp.float32)
     for blk in params["blocks"]:
-        x = block_fn(blk, x, m, cos, sin, enc, dtype,
-                     flash_interpret)
+        x, aux = block_fn(blk, x, m, cos, sin, enc, dtype,
+                          flash_interpret, mesh)
+        moe_aux = moe_aux + aux
 
     ctc = L.dense_apply(params["ctc_head"], x, dtype)
     lid = L.dense_apply(params["lid_head"], x, dtype)
@@ -222,6 +244,9 @@ def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
         "speaker_embed": spk,
         "encoder_states": x,
         "mask": m,
+        # summed Switch load-balance loss over blocks (0 without MoE);
+        # train/step.py adds it to the joint loss when n_experts > 0
+        "moe_aux": moe_aux,
     }
 
 
@@ -284,5 +309,6 @@ def activation_specs():
             "speaker_embed": P("data", None, None),
             "encoder_states": P("data", None, None),
             "mask": P("data", None),
+            "moe_aux": P(),
         },
     }

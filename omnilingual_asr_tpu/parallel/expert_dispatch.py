@@ -29,12 +29,16 @@ from .mesh import to_varying
 
 
 def ep_moe_apply(p, x: jnp.ndarray, mesh: Mesh, axis: str = "model",
-                 capacity_factor: float = 2.0) -> jnp.ndarray:
+                 capacity_factor: float = 2.0,
+                 data_axis: str = None) -> jnp.ndarray:
     """Expert-parallel MoE forward.
 
     p: params from models.moe.moe_ffn_init (stacked expert weights,
        sharded P(axis, ...) on their leading expert dim).
     x: [N, D] tokens, sharded P(axis, None) (N divisible by the axis size).
+       With data_axis set (dp x ep mesh), tokens shard over
+       P((data_axis, axis), None) and the all-to-all exchange stays within
+       each data row (experts are replicated across 'data').
     Returns [N, D] tokens (residual added), same sharding.
     """
     n_dev = mesh.shape[axis]
@@ -42,7 +46,8 @@ def ep_moe_apply(p, x: jnp.ndarray, mesh: Mesh, axis: str = "model",
     assert E % n_dev == 0, (E, n_dev)
     e_local = E // n_dev
     N, D = x.shape
-    n_loc = N // n_dev
+    n_shards = n_dev * (mesh.shape[data_axis] if data_axis else 1)
+    n_loc = N // n_shards
     # per-(src,dst) capacity
     cap = max(1, int(capacity_factor * n_loc / n_dev))
 
@@ -87,7 +92,9 @@ def ep_moe_apply(p, x: jnp.ndarray, mesh: Mesh, axis: str = "model",
         recv_eid = jax.lax.all_to_all(send_eid, axis, 0, 0, tiled=False)
 
         # Run local experts on received tokens: [n_dev, cap, D].
-        flat = recv_tok.reshape(n_dev * cap, D)
+        # f32 expert compute to match the dense path (moe_ffn_apply's
+        # default dtype); comms above stay in the activation dtype.
+        flat = recv_tok.reshape(n_dev * cap, D).astype(jnp.float32)
         eid = recv_eid.reshape(n_dev * cap)
         valid = eid >= 0
         eid_c = jnp.clip(eid, 0, e_local - 1)
@@ -99,7 +106,7 @@ def ep_moe_apply(p, x: jnp.ndarray, mesh: Mesh, axis: str = "model",
             jnp.einsum("nd,ndf->nf", flat, w1) + b1)
         out = jnp.einsum("nf,nfd->nd", mid, w2) + b2
         out = jnp.where(valid[:, None], out, 0.0)
-        out = out.reshape(n_dev, cap, D)
+        out = out.reshape(n_dev, cap, D).astype(recv_tok.dtype)
 
         # Return to senders.
         back = jax.lax.all_to_all(out, axis, 0, 0, tiled=False)
@@ -114,8 +121,9 @@ def ep_moe_apply(p, x: jnp.ndarray, mesh: Mesh, axis: str = "model",
     # router/ln are replicated (their leading dim is not experts)
     p_specs["ln"] = jax.tree.map(lambda _: P(), p["ln"])
     p_specs["router"] = jax.tree.map(lambda _: P(), p["router"])
+    tok_spec = P((data_axis, axis), None) if data_axis else P(axis, None)
     return shard_map(
         local_fn, mesh=mesh,
-        in_specs=(p_specs, P(axis, None)),
-        out_specs=P(axis, None),
+        in_specs=(p_specs, tok_spec),
+        out_specs=tok_spec,
     )(p, x)

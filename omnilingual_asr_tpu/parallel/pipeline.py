@@ -40,8 +40,9 @@ def apply_stacked_blocks(stacked, x, mask, cos, sin, cfg: PipelineConfig,
                          dtype):
     """Sequentially apply stacked conformer blocks via lax.scan."""
     def body(h, blk):
-        return conformer_block_apply(blk, h, mask, cos, sin, cfg.encoder,
-                                     dtype), None
+        y, _aux = conformer_block_apply(blk, h, mask, cos, sin, cfg.encoder,
+                                        dtype)
+        return y, None
 
     out, _ = jax.lax.scan(body, x, stacked)
     return out

@@ -26,10 +26,11 @@ from ..parallel.mesh import shard_params
 
 
 def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-6,
-                   warmup_steps: int = 1000) -> optax.GradientTransformation:
+                   warmup_steps: int = 1000,
+                   decay_steps: int = 200_000) -> optax.GradientTransformation:
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
-        decay_steps=200_000, end_value=lr * 0.05)
+        decay_steps=decay_steps, end_value=lr * 0.05)
     return optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(sched, weight_decay=weight_decay),
@@ -98,6 +99,12 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
     l_emo = pooled_ce(out["emotion_logits"], batch["emotion_label"])
     total = l_ctc + 0.1 * (l_lid + l_emo)
     metrics = {"ctc": l_ctc, "lid": l_lid, "emotion": l_emo}
+
+    if cfg.encoder.n_experts > 0:
+        # Switch-style load-balance aux (summed over blocks in asr_forward);
+        # 0.01 is the standard coefficient (Fedus et al.).
+        total = total + 0.01 * out["moe_aux"]
+        metrics["moe_aux"] = out["moe_aux"]
 
     if "speaker_label" in batch:
         from ..models.conformer import pooled_speaker_embed

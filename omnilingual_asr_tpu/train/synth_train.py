@@ -151,7 +151,9 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                            reuse_pool=6144, reuse_p=0.8)
     sample = next(iter(batcher))
     init_state, train_step = make_train_step(
-        cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps),
+        cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps,
+                                     # cosine completes at the run's end
+                                     decay_steps=max(steps, warmup_steps + 1)),
         from_samples=True, batch_keys=tuple(sample.keys()),
         with_translator=True,
         # milder than the ASR default: synthetic units are short (one char

@@ -116,3 +116,81 @@ class TestMoEConformer:
         params2, opt_state, step, metrics = train_step(
             state.params, state.opt_state, batch, state.step)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestMoEAllToAllDispatch:
+    def test_alltoall_matches_dense_in_conformer(self, rng):
+        """moe_dispatch='alltoall' routes the conformer's MoE FFN through
+        the capacity-based all-to-all (parallel/expert_dispatch.py) on a
+        dp x ep mesh and matches the dense dispatch at generous capacity."""
+        import dataclasses
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.models.conformer import (
+            asr_forward,
+            asr_init,
+            asr_param_specs,
+        )
+
+        cfg = tiny_config()
+        cfg = cfg.replace(
+            encoder=dataclasses.replace(cfg.encoder, n_experts=8),
+            mesh=MeshConfig(data=2, model=4))
+        params = asr_init(jax.random.PRNGKey(1), cfg)
+        mesh = build_mesh(cfg.mesh)
+        sharded = shard_params(params, asr_param_specs(cfg), mesh)
+        x = jnp.asarray(rng.standard_normal((4, 64, cfg.frontend.n_mels)),
+                        jnp.float32)
+        mask = jnp.ones((4, 64), bool)
+        data_shard = NamedSharding(mesh, P("data", None, None))
+        x = jax.device_put(x, data_shard)
+
+        dense = jax.jit(lambda p, m, k: asr_forward(p, m, k, cfg))(
+            sharded, x, mask)
+
+        cfg_ep = cfg.replace(encoder=dataclasses.replace(
+            cfg.encoder, n_experts=8, moe_dispatch="alltoall",
+            moe_capacity_factor=16.0))  # nothing drops -> exact match
+        ep = jax.jit(lambda p, m, k: asr_forward(p, m, k, cfg_ep,
+                                                 mesh=mesh))(
+            sharded, x, mask)
+
+        np.testing.assert_allclose(
+            np.asarray(ep["ctc_logits"], np.float32),
+            np.asarray(dense["ctc_logits"], np.float32),
+            atol=5e-2, rtol=5e-2)
+        np.testing.assert_allclose(
+            np.asarray(ep["encoder_states"], np.float32),
+            np.asarray(dense["encoder_states"], np.float32),
+            atol=2e-2, rtol=5e-2)
+
+    def test_moe_aux_reaches_training_loss(self, rng):
+        """The Switch load-balance aux is surfaced via out['moe_aux'] and
+        added to the joint loss when n_experts > 0."""
+        import dataclasses
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.models.conformer import asr_forward, asr_init
+        from omnilingual_asr_tpu.train.step import loss_fn
+
+        cfg = tiny_config()
+        cfg = cfg.replace(encoder=dataclasses.replace(cfg.encoder,
+                                                      n_experts=4))
+        params = asr_init(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(rng.standard_normal((2, 32, cfg.frontend.n_mels)),
+                        jnp.float32)
+        mask = jnp.ones((2, 32), bool)
+        out = asr_forward(params, x, mask, cfg)
+        aux = float(out["moe_aux"])
+        assert aux > 0.0  # ~n_layers when balanced
+
+        batch = {
+            "mel": x, "mask": mask,
+            "labels": jnp.asarray(np.full((2, 4), 5), jnp.int32),
+            "label_mask": jnp.ones((2, 4), bool),
+            "lid_label": jnp.zeros((2,), jnp.int32),
+            "emotion_label": jnp.zeros((2,), jnp.int32),
+        }
+        total, metrics = loss_fn(params, batch, cfg)
+        assert "moe_aux" in metrics
+        assert np.isfinite(float(total))

@@ -82,3 +82,34 @@ class TestQuantizedEngine:
         assert blk["w_q"].dtype == jnp.int8
         res = eng.transcribe(p)
         assert res is not None  # full pipeline runs with quantized params
+
+
+class TestW8A8:
+    def test_a8_matmul_close_to_f32(self, rng):
+        from omnilingual_asr_tpu.ops.quant import quantized_matmul_a8
+
+        x = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((64, 512)), jnp.float32)
+        w_q, scale = quantize_weight(w)
+        got = np.asarray(quantized_matmul_a8(x, w_q, scale, interpret=True))
+        want = np.asarray(x) @ np.asarray(w)
+        # dynamic per-token int8 x per-channel int8: ~1% relative error
+        denom = np.maximum(np.abs(want), 1.0)
+        rel = np.abs(got - want) / denom
+        assert rel.mean() < 0.02
+        assert np.isfinite(got).all()
+
+    def test_a8_outliers_use_per_row_scale(self, rng):
+        """A single huge-magnitude row must not destroy other rows'
+        precision (per-token scaling, not per-tensor)."""
+        from omnilingual_asr_tpu.ops.quant import quantized_matmul_a8
+
+        x = rng.standard_normal((256, 64)).astype(np.float32)
+        x[0] *= 1000.0
+        w = jnp.asarray(rng.standard_normal((64, 512)), jnp.float32)
+        w_q, scale = quantize_weight(w)
+        got = np.asarray(quantized_matmul_a8(jnp.asarray(x), w_q, scale,
+                                             interpret=True))
+        want = x @ np.asarray(w)
+        rel = np.abs(got[1:] - want[1:]) / np.maximum(np.abs(want[1:]), 1.0)
+        assert rel.mean() < 0.02

@@ -54,3 +54,47 @@ class TestNeuralSummarizer:
         windows = [rng.standard_normal((20, D)).astype(np.float32)]
         out = dec.summarize(windows, max_len=16)
         assert out is None or isinstance(out, str)
+
+
+class TestEngineSummarizerWiring:
+    def _wav(self, tmp_path):
+        import wave
+
+        p = tmp_path / "s.wav"
+        x = (np.sin(np.arange(16000) * 0.08) * 15000).astype("<i2")
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        return p
+
+    def test_default_engine_uses_template(self, tmp_path):
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        eng = TranscriptionEngine(config=tiny_config(),
+                                  batch_windows_per_device=1,
+                                  window_seconds=5.0)
+        assert eng._summarizer is None
+        res = eng.transcribe(self._wav(tmp_path))
+        if res.segments:  # random-init model may emit no segments
+            assert "speaker" in (res.summary or "")
+
+    def test_summarizer_params_enable_neural_path(self, tmp_path):
+        """Explicit summarizer weights activate SummaryDecoder; the engine
+        ships encoder states and never crashes; template remains the
+        fallback when the decode is empty."""
+        import jax
+
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+        from omnilingual_asr_tpu.models.translation import translator_init
+
+        cfg = tiny_config()
+        sp = translator_init(jax.random.PRNGKey(3), cfg, n_layers=2)
+        eng = TranscriptionEngine(config=cfg, summarizer_params=sp,
+                                  batch_windows_per_device=1,
+                                  window_seconds=5.0)
+        assert eng._summarizer is not None
+        res = eng.transcribe(self._wav(tmp_path))
+        assert res is not None
+        assert res.summary is None or isinstance(res.summary, str)
