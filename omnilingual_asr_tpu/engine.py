@@ -292,12 +292,18 @@ class TranscriptionEngine:
             real = masked[..., :n_real_classes]
             ctc_ids = jnp.argmax(real, axis=-1)
             lid_ids = jnp.argmax(out["lid_logits"], axis=-1)
+            # D2H slimming: the tunnel/PCIe transfer of head outputs is the
+            # end-to-end bottleneck (speaker_frames alone is 1 KB/frame at
+            # f32). Ids fit in i16 (vocab 512, languages 2048); per-frame
+            # features ship as f16 — the host recasts to f32 before any
+            # math, so pooling/argmax semantics are unchanged at ~1e-3
+            # relative input error. Halves the return payload.
             ret = {
-                "ctc_ids": ctc_ids.astype(jnp.int32),
-                "lid_ids": lid_ids.astype(jnp.int32),
-                "emotion_logits": out["emotion_logits"],
-                "speaker_frames": out["speaker_frames"],
-                "frame_energy": e_sub,
+                "ctc_ids": ctc_ids.astype(jnp.int16),
+                "lid_ids": lid_ids.astype(jnp.int16),
+                "emotion_logits": out["emotion_logits"].astype(jnp.float16),
+                "speaker_frames": out["speaker_frames"].astype(jnp.float16),
+                "frame_energy": e_sub.astype(jnp.float16),
                 "mask": out["mask"],
             }
             if cfg.decode.beam_size > 1:
@@ -307,11 +313,13 @@ class TranscriptionEngine:
                 logp = jax.nn.log_softmax(real.astype(jnp.float32), axis=-1)
                 topk_lp, topk_ids = jax.lax.top_k(logp, K)
                 ret["ctc_topk_logp"] = topk_lp
-                ret["ctc_topk_ids"] = topk_ids.astype(jnp.int32)
+                ret["ctc_topk_ids"] = topk_ids.astype(jnp.int16)
             if self._translator is not None or self._summarizer is not None:
                 # Encoder states feed the translation/summary decoders; only
                 # pulled to host when one is enabled (12+ MB per batch).
-                ret["encoder_states"] = out["encoder_states"]
+                # f16 on the wire; decoders upcast on host
+                ret["encoder_states"] = out["encoder_states"].astype(
+                    jnp.float16)
             return ret
 
         self._process = jax.jit(
