@@ -1,0 +1,99 @@
+"""Classification-head quality through the product engine: language-ID and
+emotion accuracy (plus translation word accuracy when a translator checkpoint
+is available) on held-out synthetic utterances.
+
+Companion to eval_synth.py (WER/CER) and eval_diar.py (DER): the reference's
+schema carries per-segment `language`, `emotion` and `translation`
+(reference gemini_pipeline.py:123-198); these are the measured numbers for
+the locally trained heads. Held-out seeds are disjoint from every training
+stream (train/synth.py eval_set).
+
+    python eval_heads.py --ckpt checkpoints/synth_r2/best/asr --n 96
+    JAX_PLATFORMS=cpu python eval_heads.py --tiny --n 4   # mechanics check
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+from pathlib import Path
+
+from eval_synth import write_wav
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--ckpt", default=None, help="trained ASR checkpoint")
+    ap.add_argument("--translator", default=None,
+                    help="translator checkpoint (enables translation scoring)")
+    ap.add_argument("--n", type=int, default=96)
+    ap.add_argument("--out", default="/tmp/omniasr_eval_heads")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
+    from omnilingual_asr_tpu.engine import TranscriptionEngine
+    from omnilingual_asr_tpu.train.synth import eval_set
+
+    cfg = tiny_config() if args.tiny else PipelineConfig.from_env()
+    if args.ckpt:
+        cfg = cfg.replace(checkpoint_path=args.ckpt)
+    engine = TranscriptionEngine(
+        config=cfg,
+        enable_translation=bool(args.translator),
+        translator_path=args.translator)
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    n_lid = n_lid_ok = n_emo = n_emo_ok = 0
+    trans_words = trans_ok = 0
+    confusions = collections.Counter()
+    for i, ex in enumerate(eval_set(args.n)):
+        p = out_dir / f"ex_{i:04d}.wav"
+        write_wav(p, ex.samples)
+        segs = engine.transcribe(p).segments
+        if not segs:
+            continue
+        # Majority-vote over segments, weighted by duration (one utterance
+        # -> one ground-truth label; the engine may split it).
+        def majority(field):
+            w = collections.Counter()
+            for s in segs:
+                v = getattr(s, field, None)
+                if v:
+                    w[v] += max(0.0, s.end - s.start)
+            return w.most_common(1)[0][0] if w else None
+
+        lid = majority("language")
+        emo = majority("emotion")
+        n_lid += 1
+        if lid == ex.language:
+            n_lid_ok += 1
+        else:
+            confusions[(ex.language, lid)] += 1
+        n_emo += 1
+        n_emo_ok += emo == ex.emotion
+        if args.translator and ex.translation:
+            hyp = " ".join((s.translation or "") for s in segs).split()
+            ref = ex.translation.split()
+            trans_words += len(ref)
+            trans_ok += sum(1 for a, b in zip(hyp, ref) if a == b)
+
+    report = {
+        "lid_acc": round(n_lid_ok / max(1, n_lid), 4),
+        "emotion_acc": round(n_emo_ok / max(1, n_emo), 4),
+        "n_files": n_lid,
+    }
+    if trans_words:
+        report["translation_word_acc"] = round(trans_ok / trans_words, 4)
+    if confusions:
+        report["top_lid_confusions"] = [
+            {"ref": r, "hyp": h, "n": n}
+            for (r, h), n in confusions.most_common(3)]
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
