@@ -159,6 +159,14 @@ class PipelineConfig:
         ckpt = os.getenv("OMNIASR_CHECKPOINT")
         if ckpt:
             kwargs["checkpoint_path"] = ckpt
+        elif ckpt is None:
+            # No env override: pick up the shipped release checkpoint when
+            # the repo carries one (OMNIASR_CHECKPOINT="" opts out).
+            from .models.zoo import default_release_dir
+
+            rel = default_release_dir()
+            if rel is not None and (rel / "asr.npz").is_file():
+                kwargs["checkpoint_path"] = str(rel / "asr.npz")
         return PipelineConfig(**kwargs)
 
     def replace(self, **kw) -> "PipelineConfig":

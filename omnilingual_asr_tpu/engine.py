@@ -144,14 +144,37 @@ class TranscriptionEngine:
         # would write noise into segment.translation, which is strictly worse
         # than the schema-valid None (reference: null iff English,
         # gemini_pipeline.py:176-179).
+        from .models.zoo import default_release_dir
+
+        _release = default_release_dir()
+
+        def _released(name: str) -> Optional[str]:
+            if _release is None:
+                return None
+            p = _release / f"{name}.npz"
+            return str(p) if p.is_file() else None
+
+        def _load_decoder(explicit_path, env_name, release_name, n_layers):
+            """Explicit paths must load (errors propagate); a discovered
+            release file is best-effort — it may belong to a different
+            config (e.g. tiny test configs), in which case it is skipped."""
+            from .models.translation import load_translator
+
+            path = explicit_path or os.getenv(env_name)
+            if path:
+                return load_translator(path, cfg, n_layers=n_layers)
+            path = _released(release_name)
+            if path:
+                try:
+                    return load_translator(path, cfg, n_layers=n_layers)
+                except (KeyError, ValueError):
+                    return None
+            return None
+
         self._translator = translator_params
         if self._translator is None:
-            translator_path = translator_path or os.getenv(
-                "OMNIASR_TRANSLATOR")
-            if translator_path:
-                from .models.translation import load_translator
-
-                self._translator = load_translator(translator_path, cfg)
+            self._translator = _load_decoder(
+                translator_path, "OMNIASR_TRANSLATOR", "translator", 4)
         if enable_translation and self._translator is None:
             import warnings
 
@@ -165,13 +188,8 @@ class TranscriptionEngine:
         # (models/summarizer.py). Random-init free text would be noise.
         self._summarizer = None
         if summarizer_params is None:
-            summarizer_path = summarizer_path or os.getenv(
-                "OMNIASR_SUMMARIZER")
-            if summarizer_path:
-                from .models.translation import load_translator
-
-                summarizer_params = load_translator(
-                    summarizer_path, cfg, n_layers=2)
+            summarizer_params = _load_decoder(
+                summarizer_path, "OMNIASR_SUMMARIZER", "summarizer", 2)
         if summarizer_params is not None:
             from .models.summarizer import SummaryDecoder
 

@@ -189,12 +189,17 @@ def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
     against the abstract init structure."""
     from pathlib import Path
 
-    import orbax.checkpoint as ocp
-
     template = jax.eval_shape(
         lambda: translator_init(jax.random.PRNGKey(0), cfg, n_layers))
+    path = Path(path).resolve()
+    if path.suffix == ".npz":
+        from .zoo import load_release
+
+        return load_release(path, template)
+    import orbax.checkpoint as ocp
+
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(path).resolve(), template)
+    return ckptr.restore(path, template)
 
 
 def tokens_to_text(tokens, vocab) -> str:

@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 # runs, so the env var alone is too late; the backend itself is still lazy,
 # so forcing the platform through jax.config works as long as no devices
 # have been touched yet.
+# Hermetic: never auto-load the shipped release checkpoint in tests —
+# engines built without explicit params must behave identically whether or
+# not checkpoints/release exists (tests that cover discovery point
+# OMNIASR_RELEASE_DIR at their own tmp dir).
+os.environ.setdefault("OMNIASR_RELEASE_DIR", "")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

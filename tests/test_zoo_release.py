@@ -1,0 +1,98 @@
+"""Release-checkpoint format (float16 .npz) and shipped-model discovery.
+
+The training format is Orbax (models/zoo.py save_checkpoint); the shipping
+format is one float16 .npz per model so a trained checkpoint can live in the
+repo at half the fp32 size and load with numpy alone. Engines and
+PipelineConfig.from_env discover `checkpoints/release/` automatically
+(overridable via OMNIASR_RELEASE_DIR; "" opts out — tests/conftest.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
+from omnilingual_asr_tpu.models.conformer import asr_init
+from omnilingual_asr_tpu.models.translation import translator_init
+from omnilingual_asr_tpu.models.zoo import (
+    load_checkpoint,
+    load_release,
+    save_release,
+)
+
+
+def test_release_roundtrip_tiny(tmp_path):
+    cfg = tiny_config()
+    params = asr_init(jax.random.PRNGKey(0), cfg)
+    path = tmp_path / "asr.npz"
+    save_release(path, params)
+
+    restored = load_checkpoint(path, cfg)  # .npz dispatch
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(restored)}
+    assert len(flat_a) == len(flat_b)
+    for k, a in flat_a:
+        b = flat_b[jax.tree_util.keystr(k)]
+        assert b.dtype == np.asarray(a).dtype  # upcast back to template dtype
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_release_shape_mismatch_raises(tmp_path):
+    cfg = tiny_config()
+    params = translator_init(jax.random.PRNGKey(0), cfg, n_layers=2)
+    path = tmp_path / "translator.npz"
+    save_release(path, params)
+    template = jax.eval_shape(
+        lambda: translator_init(jax.random.PRNGKey(0), cfg, n_layers=4))
+    with pytest.raises((KeyError, ValueError)):
+        load_release(path, template)
+
+
+def test_from_env_discovers_release(tmp_path, monkeypatch):
+    rel = tmp_path / "release"
+    rel.mkdir()
+    cfg = tiny_config()
+    save_release(rel / "asr.npz", asr_init(jax.random.PRNGKey(0), cfg))
+    monkeypatch.delenv("OMNIASR_CHECKPOINT", raising=False)
+    monkeypatch.setenv("OMNIASR_RELEASE_DIR", str(rel))
+    assert PipelineConfig.from_env().checkpoint_path == str(rel / "asr.npz")
+
+    # "" opts out (the conftest default for hermetic tests).
+    monkeypatch.setenv("OMNIASR_RELEASE_DIR", "")
+    assert PipelineConfig.from_env().checkpoint_path is None
+
+    # Explicit OMNIASR_CHECKPOINT wins over discovery.
+    monkeypatch.setenv("OMNIASR_RELEASE_DIR", str(rel))
+    monkeypatch.setenv("OMNIASR_CHECKPOINT", "/elsewhere/asr")
+    assert PipelineConfig.from_env().checkpoint_path == "/elsewhere/asr"
+
+
+def test_engine_discovers_release_decoders(tmp_path, monkeypatch):
+    from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+    rel = tmp_path / "release"
+    rel.mkdir()
+    cfg = tiny_config()
+    save_release(rel / "translator.npz",
+                 translator_init(jax.random.PRNGKey(1), cfg, n_layers=4))
+    save_release(rel / "summarizer.npz",
+                 translator_init(jax.random.PRNGKey(2), cfg, n_layers=2))
+    monkeypatch.setenv("OMNIASR_RELEASE_DIR", str(rel))
+    eng = TranscriptionEngine(config=cfg)
+    assert eng._translator is not None
+    assert eng._summarizer is not None
+
+    # A release dir whose decoder shapes don't match the engine config is
+    # skipped, not fatal (discovered loads are best-effort).
+    big = tmp_path / "release_big"
+    big.mkdir()
+    wrong = tiny_config().replace(
+        encoder=tiny_config().encoder.__class__(d_model=64, n_layers=1,
+                                                n_heads=2, conv_kernel=8))
+    save_release(big / "translator.npz",
+                 translator_init(jax.random.PRNGKey(3), wrong, n_layers=4))
+    monkeypatch.setenv("OMNIASR_RELEASE_DIR", str(big))
+    eng2 = TranscriptionEngine(config=cfg)
+    assert eng2._translator is None
