@@ -69,7 +69,9 @@ def main():
     from omnilingual_asr_tpu.engine import TranscriptionEngine
     from omnilingual_asr_tpu.utils.metrics import der
 
-    cfg = tiny_config() if args.tiny else PipelineConfig()
+    # from_env: honor OMNIASR_CHECKPOINT / shipped-release discovery like
+    # the sibling eval scripts, so all published numbers use the same model.
+    cfg = tiny_config() if args.tiny else PipelineConfig.from_env()
     if args.ckpt:
         cfg = cfg.replace(checkpoint_path=args.ckpt)
     engine = TranscriptionEngine(config=cfg, batch_windows_per_device=4)

@@ -53,13 +53,15 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     # file — so bound it at ~64 MB.
     phases32 = phases.astype(np.float32)
     xpad32 = xpad.astype(np.float32)
-    karr = np.arange(K)
-    block = max(1, (1 << 24) // max(K, 1))
+    karr = np.arange(K, dtype=np.int32)
+    # int32 indices + this block size keep the [block, K] index matrix plus
+    # the two float32 gathers at ~48 MB peak per block.
+    block = max(1, (1 << 22) // max(K, 1))
     y = np.empty(n_out, dtype=np.float32)
     for b0 in range(0, n_out, block):
         t = np.arange(b0, min(b0 + block, n_out), dtype=np.int64)
-        q = (t * M) // L
-        p = (t * M) % L
+        q = ((t * M) // L).astype(np.int32)
+        p = ((t * M) % L).astype(np.int32)
         idx = (q[:, None] + K) - karr[None, :]
         y[b0:b0 + len(t)] = np.einsum(
             "tk,tk->t", phases32[p], xpad32[idx])

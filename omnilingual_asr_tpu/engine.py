@@ -546,10 +546,16 @@ class TranscriptionEngine:
         sub = cfg.encoder.subsample_factor
         n_real_classes = 1 + cfg.vocab.n_bytes
 
+        # Emit encoder states only when a decoder needs them (translation /
+        # neural summary); they are the one non-frame-compact output.
+        want_states = (self._translator is not None
+                       or self._summarizer is not None)
+
         @partial(jax.jit, static_argnums=())
         def sp_decode(params, mel, mask, ctc_mask):
             out = sp_conformer_forward(params, mel, mask, cfg, self.mesh,
-                                       axis="data", all_heads=True)
+                                       axis="data", all_heads=True,
+                                       with_states=want_states)
             masked = out["ctc_logits"] + ctc_mask[None, :]
             ctc_ids = jnp.argmax(masked[..., :n_real_classes], axis=-1)
             lid_ids = jnp.argmax(out["lid_logits"], axis=-1)
@@ -557,7 +563,7 @@ class TranscriptionEngine:
             e = jax.nn.logsumexp(mel.astype(jnp.float32), axis=-1) \
                 * (10.0 / jnp.log(10.0))
             e_sub = e.reshape(-1, sub).mean(axis=-1)
-            return {
+            res = {
                 "ctc_ids": ctc_ids.astype(jnp.int32),
                 "lid_ids": lid_ids.astype(jnp.int32),
                 "emotion_logits": out["emotion_logits"],
@@ -565,6 +571,9 @@ class TranscriptionEngine:
                 "frame_energy": e_sub,
                 "mask": out["mask"],
             }
+            if want_states:
+                res["encoder_states"] = out["encoder_states"]
+            return res
 
         self._seq_fns = (jax.jit(mel_chunks), sp_decode)
         return self._seq_fns
@@ -623,6 +632,24 @@ class TranscriptionEngine:
         out = sp_decode(self.params, mel_dev, mask_dev, ctc_mask)
 
         nf_sub = int(np.asarray(out["mask"]).sum())
+        # Encoder states feed translation/summary decoders; fetching them is
+        # the one D2H cost that scales with file length (bf16, [T', D]), so
+        # cap it at ~1 h of subsampled frames and fall back with a warning
+        # beyond that (beam rescoring stays window-mode-only).
+        enc_states = None
+        if "encoder_states" in out:
+            max_state_frames = int(3600.0 / self.frame_dur_s)
+            if nf_sub <= max_state_frames:
+                enc_states = np.asarray(out["encoder_states"])[:nf_sub] \
+                    .astype(np.float32)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"sequence mode: file has {nf_sub} encoder frames "
+                    f"(> {max_state_frames}); translation/neural summary "
+                    "are skipped for this file — use window mode for "
+                    "decoder heads on very long audio.", stacklevel=2)
         return [{
             "offset_s": 0.0,
             "ctc_ids": np.asarray(out["ctc_ids"])[:nf_sub],
@@ -633,7 +660,7 @@ class TranscriptionEngine:
                                          dtype=np.float32)[:nf_sub],
             "frame_energy": np.asarray(out["frame_energy"],
                                        dtype=np.float32)[:nf_sub],
-            "encoder_states": None,
+            "encoder_states": enc_states,
             "ctc_topk": None,
         }]
 
@@ -730,9 +757,10 @@ class TranscriptionEngine:
                 language_code=primary["code"],
                 languages=langs,
                 emotion=EMOTIONS[emo_idx],
-                translation=None,  # translation head lands in a later slice;
-                #                    None is schema-valid (null iff English,
-                #                    reference gemini_pipeline.py:176-179)
+                translation=None,  # filled by _translate_segments below when
+                #                    a trained decoder is loaded; None is
+                #                    schema-valid (null iff English, reference
+                #                    gemini_pipeline.py:176-179)
                 words=s.words,
             ))
 

@@ -17,6 +17,7 @@ TPU design notes:
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -94,8 +95,10 @@ def _attend(q, k, v, mask, n_heads):
 
 
 def decoder_forward(params, tokens, enc, enc_mask, cfg: PipelineConfig,
-                    n_heads: int = 8):
+                    n_heads: Optional[int] = None):
     """Teacher-forced forward (training): tokens [B, Tt] -> logits [B, Tt, V]."""
+    if n_heads is None:
+        n_heads = cfg.encoder.n_heads  # keep train == inference head split
     B, Tt = tokens.shape
     x = params["embed"][tokens]  # [B, Tt, D]
     pos = jnp.arange(Tt)
@@ -121,13 +124,15 @@ def decoder_forward(params, tokens, enc, enc_mask, cfg: PipelineConfig,
 
 def greedy_translate(params, enc, enc_mask, cfg: PipelineConfig,
                      max_len: int = MAX_TARGET_LEN, bos_id: int = 0,
-                     n_heads: int = 8) -> jnp.ndarray:
+                     n_heads: Optional[int] = None) -> jnp.ndarray:
     """Greedy autoregressive decode via lax.scan with a fixed KV cache.
 
     enc: [B, Te, D]; enc_mask: [B, Te]. Returns token ids [B, max_len]
     (0/blank acts as BOS and EOS — decoding stops contributing once EOS is
     emitted; the host strips from the first EOS).
     """
+    if n_heads is None:
+        n_heads = cfg.encoder.n_heads  # keep train == inference head split
     B, Te, D = enc.shape
     n_layers = len(params["blocks"])
     hd = D

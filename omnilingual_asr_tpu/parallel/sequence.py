@@ -126,7 +126,8 @@ def _sp_attention(p, x, mask_local, cos, sin, n_heads: int, axis: str):
 
 def sp_conformer_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
                          cfg: PipelineConfig, mesh: Mesh,
-                         axis: str = "data", all_heads: bool = False):
+                         axis: str = "data", all_heads: bool = False,
+                         with_states: bool = False):
     """Sequence-parallel encoder forward over ONE sequence.
 
     mel: [T, n_mels] (T divisible by axis size * subsample_factor);
@@ -134,7 +135,9 @@ def sp_conformer_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
     with all_heads=True — lid/emotion logits and speaker_frames so the
     engine's sequence mode produces the full reference schema
     (VERDICT r1 #3): every head is frame-local, so they add zero
-    communication.
+    communication. with_states=True additionally returns the pre-head
+    encoder states as bf16 ``encoder_states`` [T', D] (feeds the
+    translation/summary decoders in the engine's sequence mode).
     """
     sub = cfg.encoder.subsample_factor
     enc = cfg.encoder
@@ -173,6 +176,8 @@ def sp_conformer_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
         emo = L.dense_apply(p["emotion_head"], x, jnp.float32)
         h = jax.nn.relu(L.dense_apply(p["speaker_head"], x, jnp.float32))
         spk = L.dense_apply(p["spk_head2"], h, jnp.float32)
+        if with_states:
+            return ctc, m, lid, emo, spk, x.astype(jnp.bfloat16)
         return ctc, m, lid, emo, spk
 
     p_specs = jax.tree.map(lambda _: P(), params)
@@ -183,11 +188,16 @@ def sp_conformer_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
             out_specs=(P(axis, None), P(axis)),
         )(params, mel, mask)
         return {"ctc_logits": ctc, "mask": m}
-    ctc, m, lid, emo, spk = shard_map(
+    n_out = 6 if with_states else 5
+    out_specs = (P(axis, None), P(axis)) + (P(axis, None),) * (n_out - 2)
+    outs = shard_map(
         local_fn, mesh=mesh,
         in_specs=(p_specs, P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis), P(axis, None), P(axis, None),
-                   P(axis, None)),
+        out_specs=out_specs,
     )(params, mel, mask)
-    return {"ctc_logits": ctc, "mask": m, "lid_logits": lid,
-            "emotion_logits": emo, "speaker_frames": spk}
+    ctc, m, lid, emo, spk = outs[:5]
+    result = {"ctc_logits": ctc, "mask": m, "lid_logits": lid,
+              "emotion_logits": emo, "speaker_frames": spk}
+    if with_states:
+        result["encoder_states"] = outs[5]
+    return result

@@ -728,8 +728,16 @@ function navigateSegment(dir) {
   if (!segs.length) return;
   const t = $("#audio").currentTime;
   let idx = segs.findIndex((s) => t >= s.start && t < s.end);
-  if (idx < 0) idx = segs.findIndex((s) => s.start > t) - dir;
-  idx = Math.min(segs.length - 1, Math.max(0, idx + dir));
+  if (idx >= 0) {
+    idx += dir;
+  } else {
+    // In a gap (or past the end): next -> following segment, prev -> the
+    // segment before the gap (findIndex yields -1 after the last segment).
+    let next = segs.findIndex((s) => s.start > t);
+    if (next < 0) next = segs.length;
+    idx = dir > 0 ? next : next - 1;
+  }
+  idx = Math.min(segs.length - 1, Math.max(0, idx));
   seek(segs[idx].start);
   segEls[idx]?.scrollIntoView({ block: "nearest", behavior: "smooth" });
 }
@@ -970,8 +978,12 @@ async function drawSpectrogram() {
   for (let i = 0; i < NFFT; i++) {
     win[i] = 0.5 - 0.5 * Math.cos(2 * Math.PI * i / NFFT);
   }
-  const img = ctx.createImageData(W, H);
-  const cols = Math.min(W, Math.floor(span / hop));
+  // Deep zoom clamps hop to 5 ms, so there can be fewer FFT columns than
+  // canvas pixels; render at `cols` and stretch to W so the time axis
+  // always matches the overlay/timeToX coordinates.
+  const cols = Math.max(1, Math.min(W, Math.floor(span / hop)));
+  const colW = W / cols;
+  const img = ctx.createImageData(cols, H);
   const DYN = 70; // dB dynamic range (Praat default)
   // mel row -> FFT bin lookup
   const binOf = new Int32Array(H);
@@ -999,12 +1011,20 @@ async function drawSpectrogram() {
       const db = 10 * Math.log10(p + 1e-12);
       const v = Math.min(1, Math.max(0, (db + DYN) / DYN));
       const [r, g, b] = heatColor(v);
-      const idx = (y * W + x) * 4;
+      const idx = (y * cols + x) * 4;
       img.data[idx] = r; img.data[idx + 1] = g; img.data[idx + 2] = b;
       img.data[idx + 3] = 255;
     }
   }
-  ctx.putImageData(img, 0, 0);
+  if (cols === W) {
+    ctx.putImageData(img, 0, 0);
+  } else {
+    const tmp = document.createElement("canvas");
+    tmp.width = cols; tmp.height = H;
+    tmp.getContext("2d").putImageData(img, 0, 0);
+    ctx.imageSmoothingEnabled = false;
+    ctx.drawImage(tmp, 0, 0, cols, H, 0, 0, W, H);
+  }
 
   // Formant overlay (F1-F3): smoothed-spectrum peak picking per column
   // in 200-4000 Hz, Okabe-Ito colors, drawn on the mel axis.
@@ -1041,7 +1061,7 @@ async function drawSpectrogram() {
       const hz = bin * binHz;
       const y = Math.round((1 - hzToMel(hz) / melMax) * H);
       ctx.fillStyle = F_COLORS[fi];
-      ctx.fillRect(x, y, 2, 2);
+      ctx.fillRect(Math.round(x * colW), y, 2, 2);
     });
   }
 
@@ -1053,7 +1073,8 @@ async function drawSpectrogram() {
   for (let x = 0; x < cols; x++) {
     const v = Math.min(1, Math.max(0, (colDb[x] + DYN) / DYN));
     const y = H - 4 - v * (H - 8);
-    if (started) ctx.lineTo(x, y); else { ctx.moveTo(x, y); started = true; }
+    const xp = x * colW;
+    if (started) ctx.lineTo(xp, y); else { ctx.moveTo(xp, y); started = true; }
   }
   ctx.stroke();
 

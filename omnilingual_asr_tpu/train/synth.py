@@ -679,14 +679,14 @@ class SynthBatcher:
             ex = make_codeswitch_example(rng, clean=True)
             return {"samples": ex.samples, "text": ex.text,
                     "language": ex.language, "emotion": ex.emotion,
-                    "speaker_id": 2 + ex.speaker_id,
+                    "speaker_id": 2 + ex.speaker_id % (N_SPEAKERS - 2),
                     "translation": ex.translation,
                     "char_spans": ex.char_spans,
                     "lid_span_langs": getattr(ex, "lid_span_langs", None)}
         ex = make_example(rng, clean=True)
         return {"samples": ex.samples, "text": ex.text,
                 "language": ex.language, "emotion": ex.emotion,
-                "speaker_id": 2 + ex.speaker_id,
+                "speaker_id": 2 + ex.speaker_id % (N_SPEAKERS - 2),
                 "translation": ex.translation, "char_spans": ex.char_spans,
                 "lid_span_langs": None}
 
@@ -858,8 +858,13 @@ def trim_to_window(ex: "SynthExample | dict", window_samples: int,
     n_words = len(new_text.split()) if new_text else 0
     new_trans = (" ".join(translation.split()[:n_words])
                  if translation and n_words else None)
-    return (samples[:window_samples], new_text, new_trans,
-            list(spans[:ci]))
+    # Silence the window past the last kept character: otherwise the audio
+    # of the dropped word(s) remains voiced but unlabeled, teaching CTC to
+    # emit blank over clear speech (deletion bias).
+    out = np.array(samples[:window_samples], copy=True)
+    cut = int(spans[ci - 1][1]) if ci else 0
+    out[min(cut, window_samples):] = 0.0
+    return out, new_text, new_trans, list(spans[:ci])
 
 
 def eval_set(n: int = 64, seed: int = 10_000_019,

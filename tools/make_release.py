@@ -1,0 +1,55 @@
+"""Export trained Orbax checkpoints to the in-repo release format.
+
+Reads a training checkpoint directory (as written by train/synth_train.py:
+``<ckpt>/asr`` + ``<ckpt>/translator``, optionally ``<ckpt>/summarizer``)
+and writes single-file float16 .npz release artifacts that the engine
+auto-discovers (models/zoo.py default_release_dir).
+
+    python tools/make_release.py --ckpt checkpoints/synth_r2/best \
+        --out checkpoints/release
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True,
+                    help="training checkpoint dir (asr/ + translator/ [...])")
+    ap.add_argument("--out", default="checkpoints/release")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # export is a host job
+
+    from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
+    from omnilingual_asr_tpu.models.translation import load_translator
+    from omnilingual_asr_tpu.models.zoo import load_checkpoint, save_release
+
+    cfg = tiny_config() if args.tiny else PipelineConfig()
+    ckpt = Path(args.ckpt)
+    out = Path(args.out)
+
+    asr = load_checkpoint(ckpt / "asr", cfg)
+    save_release(out / "asr.npz", asr)
+
+    for name, n_layers in (("translator", 4), ("summarizer", 2)):
+        src = ckpt / name
+        if src.is_dir():
+            params = load_translator(src, cfg, n_layers=n_layers)
+            save_release(out / f"{name}.npz", params)
+
+    for f in sorted(out.glob("*.npz")):
+        print(f"{f}  {f.stat().st_size / 1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()
