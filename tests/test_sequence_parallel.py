@@ -126,6 +126,33 @@ class TestEngineSequenceMode:
         # timestamps span beyond one window: no 10 s ceiling
         assert res.segments[-1].end > 10.0
 
+    def test_sequence_mode_emits_states_for_decoders(self):
+        """With a translator loaded, the SP path must return encoder states
+        so translation/neural-summary run in sequence mode too (they were
+        silently dropped before)."""
+        import dataclasses as dc
+
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+        from omnilingual_asr_tpu.models.translation import translator_init
+
+        cfg = tiny_config()
+        cfg = cfg.replace(encoder=dc.replace(cfg.encoder, dtype="float32"))
+        params = asr_init(jax.random.PRNGKey(0), cfg)
+        trans = translator_init(jax.random.PRNGKey(1), cfg)
+        eng = TranscriptionEngine(config=cfg, params=params,
+                                  translator_params=trans,
+                                  window_seconds=10.0,
+                                  batch_windows_per_device=1,
+                                  long_mode="sequence")
+        sr = cfg.frontend.sample_rate
+        rng = np.random.default_rng(3)
+        x = (0.2 * rng.standard_normal(12 * sr)).astype(np.float32)
+        outs = eng._forward_sequence(x)
+        st = outs[0]["encoder_states"]
+        assert st is not None and st.dtype == np.float32
+        assert st.shape[0] == len(outs[0]["ctc_ids"])
+        assert st.shape[1] == cfg.encoder.d_model
+
     def test_sequence_matches_dense_ctc(self, tmp_path):
         """The engine's SP decode must equal a dense single-sequence
         forward on the exact full-file mel (ground truth — the windowed
