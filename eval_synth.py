@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--no-real", action="store_true")
     ap.add_argument("--window-seconds", type=float, default=10.0)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--ingress", default=None, choices=["i16", "mulaw"],
+                    help="H2D wire format (audio/codec.py); quantifies the "
+                         "WER cost of 8-bit companded ingress")
     args = ap.parse_args()
 
     from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
@@ -77,7 +80,8 @@ def main():
     if args.ckpt:
         cfg = cfg.replace(checkpoint_path=args.ckpt)
     engine = TranscriptionEngine(config=cfg,
-                                 window_seconds=args.window_seconds)
+                                 window_seconds=args.window_seconds,
+                                 ingress=args.ingress)
 
     # Per-set reports (synthetic vs real speech), one engine.
     items = load_manifest(manifest)

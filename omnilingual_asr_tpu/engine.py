@@ -124,6 +124,7 @@ class TranscriptionEngine:
         summarizer_path: Optional[str] = None,
         quantize: bool = False,
         long_mode: str = "window",
+        ingress: Optional[str] = None,
     ) -> None:
         if long_mode not in ("window", "sequence"):
             raise ValueError(f"long_mode must be 'window' or 'sequence', "
@@ -133,6 +134,14 @@ class TranscriptionEngine:
         #: sharded over 'data' via ring attention + conv halo exchange
         #: (parallel/sequence.py) — no window boundaries at all.
         self.long_mode = long_mode
+        #: Sample wire format for H2D: "i16" (default, lossless for 16-bit
+        #: sources) or "mulaw" (8-bit companded, half the ingress bytes at
+        #: ~38 dB SNR — for bandwidth-bound links; audio/codec.py).
+        ingress = ingress or os.getenv("OMNIASR_INGRESS", "i16")
+        if ingress not in ("i16", "mulaw"):
+            raise ValueError(f"ingress must be 'i16' or 'mulaw', "
+                             f"got {ingress!r}")
+        self.ingress = ingress
         self.config = config or PipelineConfig.from_env()
         self.model = model
         self.last_trace: Optional[StageTrace] = None
@@ -276,7 +285,12 @@ class TranscriptionEngine:
             of eager ops (which would serialize on dispatch latency).
             """
             B = samples_i16.shape[0]
-            samples = samples_i16.astype(jnp.float32) * (1.0 / 32768.0)
+            if samples_i16.dtype == jnp.uint8:   # μ-law wire format
+                from .audio.codec import mulaw_decode
+
+                samples = mulaw_decode(samples_i16)
+            else:
+                samples = samples_i16.astype(jnp.float32) * (1.0 / 32768.0)
 
             def frames_one(x):
                 return fe_dev.frames_from_signal(x)[0]  # [T_pad, n_fft]
@@ -473,8 +487,14 @@ class TranscriptionEngine:
                 sample_rows.append(np.zeros_like(sample_rows[0]))
                 n_valid.append(0)
             rows = np.stack(sample_rows)
-            rows_i16 = np.clip(rows * 32768.0, -32768, 32767).astype(np.int16)
-            samples_b = jnp.asarray(rows_i16)
+            if self.ingress == "mulaw":
+                from .audio.codec import mulaw_encode
+
+                rows_wire = mulaw_encode(rows)
+            else:
+                rows_wire = np.clip(rows * 32768.0,
+                                    -32768, 32767).astype(np.int16)
+            samples_b = jnp.asarray(rows_wire)
             nvalid_b = jnp.asarray(np.asarray(n_valid, np.int32))
             pending.append(
                 (batch, self._dispatch_batch(samples_b, nvalid_b, ctc_mask)))
