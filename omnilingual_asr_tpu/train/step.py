@@ -219,6 +219,11 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
         if not from_samples:
             return batch
         samples = batch["samples"]
+        if samples.dtype == jnp.int16:
+            # i16 wire format: half the H2D bytes of f32 (the tunnel/PCIe
+            # transfer bounds steps/s on link-attached hosts), lossless for
+            # 16-bit audio sources — same trick as the serving engine.
+            samples = samples.astype(jnp.float32) * (1.0 / 32768.0)
         T = batch["mask"].shape[1]
 
         def frames_one(x):

@@ -197,7 +197,11 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         for i, batch in enumerate(batcher):
             if i >= steps:
                 break
-            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            dev_batch = {
+                k: jnp.asarray(
+                    np.clip(v * 32768.0, -32768, 32767).astype(np.int16)
+                    if k == "samples" else v)
+                for k, v in batch.items()}
             params, opt_state, step, metrics = train_step(
                 params, opt_state, dev_batch, step)
             audio_s += float(batch["mask"].sum()) * cfg.frontend.hop_length \
