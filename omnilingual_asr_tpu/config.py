@@ -151,6 +151,29 @@ class PipelineConfig:
     max_retries: int = 3              # reference gemini_pipeline.py:689
     seed: int = 0
 
+    def to_json(self) -> str:
+        """Serialize the model-defining fields (release config.json)."""
+        import json
+
+        return json.dumps({
+            "frontend": dataclasses.asdict(self.frontend),
+            "encoder": dataclasses.asdict(self.encoder),
+            "vocab": dataclasses.asdict(self.vocab),
+        }, indent=1)
+
+    @staticmethod
+    def from_json(text: str, **overrides) -> "PipelineConfig":
+        """Inverse of :meth:`to_json`; non-model fields take defaults or
+        ``overrides``."""
+        import json
+
+        d = json.loads(text)
+        return PipelineConfig(
+            frontend=FrontendConfig(**d.get("frontend", {})),
+            encoder=EncoderConfig(**d.get("encoder", {})),
+            vocab=VocabConfig(**d.get("vocab", {})),
+            **overrides)
+
     @staticmethod
     def from_env() -> "PipelineConfig":
         """Build a config honoring the reference's env-var names where they
@@ -161,11 +184,19 @@ class PipelineConfig:
             kwargs["checkpoint_path"] = ckpt
         elif ckpt is None:
             # No env override: pick up the shipped release checkpoint when
-            # the repo carries one (OMNIASR_CHECKPOINT="" opts out).
+            # the repo carries one (OMNIASR_CHECKPOINT="" opts out). The
+            # release is self-describing: a config.json beside the weights
+            # sets the model dims (so a released model need not match the
+            # code-default config).
             from .models.zoo import default_release_dir
 
             rel = default_release_dir()
             if rel is not None and (rel / "asr.npz").is_file():
+                cfg_file = rel / "config.json"
+                if cfg_file.is_file():
+                    return PipelineConfig.from_json(
+                        cfg_file.read_text(),
+                        checkpoint_path=str(rel / "asr.npz"))
                 kwargs["checkpoint_path"] = str(rel / "asr.npz")
         return PipelineConfig(**kwargs)
 

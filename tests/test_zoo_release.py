@@ -69,6 +69,24 @@ def test_from_env_discovers_release(tmp_path, monkeypatch):
     assert PipelineConfig.from_env().checkpoint_path == "/elsewhere/asr"
 
 
+def test_release_config_json_roundtrip(tmp_path, monkeypatch):
+    """A release dir with config.json rebuilds the released model's exact
+    dims through from_env, even when they differ from the code default."""
+    cfg = tiny_config()
+    assert PipelineConfig.from_json(cfg.to_json()).encoder == cfg.encoder
+    assert PipelineConfig.from_json(cfg.to_json()).frontend == cfg.frontend
+
+    rel = tmp_path / "release"
+    rel.mkdir()
+    save_release(rel / "asr.npz", asr_init(jax.random.PRNGKey(0), cfg))
+    (rel / "config.json").write_text(cfg.to_json())
+    monkeypatch.delenv("OMNIASR_CHECKPOINT", raising=False)
+    monkeypatch.setenv("OMNIASR_RELEASE_DIR", str(rel))
+    got = PipelineConfig.from_env()
+    assert got.encoder == cfg.encoder
+    assert got.checkpoint_path == str(rel / "asr.npz")
+
+
 def test_engine_discovers_release_decoders(tmp_path, monkeypatch):
     from omnilingual_asr_tpu.engine import TranscriptionEngine
 

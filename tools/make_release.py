@@ -40,6 +40,9 @@ def main() -> None:
 
     asr = load_checkpoint(ckpt / "asr", cfg)
     save_release(out / "asr.npz", asr)
+    # Self-describing release: engines rebuild this exact model config
+    # (PipelineConfig.from_env reads it next to the weights).
+    (out / "config.json").write_text(cfg.to_json())
 
     for name, n_layers in (("translator", 4), ("summarizer", 2)):
         src = ckpt / name
