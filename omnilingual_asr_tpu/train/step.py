@@ -113,7 +113,7 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
                                    out["mask"].astype(jnp.float32))
         l_spk = aam_softmax_loss(emb, batch["speaker_label"],
                                  params["spk_aam"])
-        total = total + 0.3 * l_spk
+        total = total + 0.3 * batch.get("w_spk", 1.0) * l_spk
         metrics["speaker"] = l_spk
 
     if trans_params is not None and "trans_in" in batch:
@@ -126,7 +126,7 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
             tlogp, batch["trans_tgt"][:, :, None], axis=-1)[:, :, 0]
         tm = batch["trans_mask"].astype(jnp.float32)
         l_tr = -(pick * tm).sum() / jnp.maximum(tm.sum(), 1.0)
-        total = total + 0.5 * l_tr
+        total = total + 0.5 * batch.get("w_trans", 1.0) * l_tr
         metrics["translation"] = l_tr
 
     metrics["loss"] = total
@@ -147,6 +147,11 @@ _BATCH_KEY_SPECS: Dict[str, P] = {
     "trans_in": P("data", None),
     "trans_tgt": P("data", None),
     "trans_mask": P("data", None),
+    # per-step loss-ramp scalars (replicated): curriculum training turns
+    # auxiliary losses/augmentation on mid-run without recompiling
+    "w_spk": P(),
+    "w_trans": P(),
+    "w_aug": P(),
 }
 
 _LEGACY_KEYS = ("mel", "mask", "labels", "label_mask", "lid_label",
@@ -251,8 +256,11 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
 
             key = jax.random.fold_in(jax.random.PRNGKey(0), step)
             batch = dict(batch)
-            batch["mel"] = spec_augment(key, batch["mel"], batch["mask"],
-                                        augment)
+            aug = spec_augment(key, batch["mel"], batch["mask"], augment)
+            # w_aug (curriculum ramp scalar) blends augmentation in without
+            # recompiling; absent key = fully on
+            w = batch.get("w_aug", 1.0)
+            batch["mel"] = batch["mel"] + w * (aug - batch["mel"])
         if with_translator:
             def joint_loss(p, b):
                 return loss_fn(p["asr"], b, cfg, trans_params=p["translator"])

@@ -647,6 +647,11 @@ class SynthBatcher:
         self._pool: List[dict] = []
         self._pool_max = reuse_pool
         self._reuse_p = reuse_p if reuse_pool else 0.0
+        # curriculum knobs (read by producer threads each draw; set via
+        # set_curriculum from the training loop at stage boundaries)
+        self._cur_min_words: Optional[int] = None
+        self._cur_max_words: Optional[int] = None
+        self._simple_only = False
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads = [
@@ -664,9 +669,43 @@ class SynthBatcher:
 
         return text_to_byte_labels(text, self.cfg.vocab, self.max_label_len)
 
+    def set_curriculum(self, *, min_words: Optional[int] = None,
+                       max_words: Optional[int] = None,
+                       simple_only: bool = False,
+                       clear_pool: bool = False) -> None:
+        """Length curriculum: cap utterance word counts and optionally
+        restrict to plain single-language examples (no real windows /
+        code-switch). Takes effect on subsequent producer draws; already-
+        queued batches drain first. clear_pool drops pooled examples from
+        the previous stage."""
+        self._cur_min_words = min_words
+        self._cur_max_words = max_words
+        self._simple_only = simple_only
+        if clear_pool:
+            self._pool = []   # reassign (not clear): racing readers keep
+            #                   the old list snapshot safely
+
     def _one(self, rng) -> dict:
         """Fresh CLEAN example (noise/gain are applied per-draw in
         _collate so pooled examples get unique augmentation)."""
+        mw = self._cur_max_words
+        if mw is not None or self._simple_only:
+            kw = {}
+            if mw is not None:
+                kw = {"min_words": self._cur_min_words or 1,
+                      "max_words": mw}
+            r = rng.random()
+            if (not self._simple_only
+                    and r < self.codeswitch_fraction and (mw or 10) >= 4):
+                ex = make_codeswitch_example(rng, clean=True)
+            else:
+                ex = make_example(rng, clean=True, **kw)
+            return {"samples": ex.samples, "text": ex.text,
+                    "language": ex.language, "emotion": ex.emotion,
+                    "speaker_id": 2 + ex.speaker_id % (N_SPEAKERS - 2),
+                    "translation": ex.translation,
+                    "char_spans": ex.char_spans,
+                    "lid_span_langs": getattr(ex, "lid_span_langs", None)}
         r = rng.random()
         if r < self.real_fraction:
             w = self.real_train[int(rng.integers(len(self.real_train)))]
@@ -691,16 +730,17 @@ class SynthBatcher:
                 "lid_span_langs": None}
 
     def _draw(self, rng) -> dict:
-        if (self._pool_max and len(self._pool) >= 64
+        pool = self._pool   # snapshot: set_curriculum may swap the list
+        if (self._pool_max and len(pool) >= 64
                 and rng.random() < self._reuse_p
-                * min(1.0, len(self._pool) / 512.0)):
-            return self._pool[int(rng.integers(len(self._pool)))]
+                * min(1.0, len(pool) / 512.0)):
+            return pool[int(rng.integers(len(pool)))]
         ex = self._one(rng)
         if self._pool_max:
-            if len(self._pool) >= self._pool_max:
-                self._pool[int(rng.integers(len(self._pool)))] = ex
+            if len(pool) >= self._pool_max:
+                pool[int(rng.integers(len(pool)))] = ex
             else:
-                self._pool.append(ex)
+                pool.append(ex)
         return ex
 
     def _collate(self, exs: List[dict],

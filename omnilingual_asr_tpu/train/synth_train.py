@@ -125,7 +125,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 warmup_steps: int = 1000,
                 resume_from: Optional[str] = None,
                 metrics_log: Optional[str] = None,
-                pallas_kernels: bool = False):
+                pallas_kernels: bool = False,
+                stage1_steps: int = 0, stage2_steps: int = 0):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -149,12 +150,30 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                            # single-core host: reuse clean examples with
                            # fresh per-draw noise/gain, amortizing synthesis
                            reuse_pool=6144, reuse_p=0.8)
+    # Length curriculum (CTC from scratch sits on a "unigram prior" plateau
+    # until alignment locks in; short utterances have exponentially fewer
+    # alignment paths and break out far sooner — see tools/diag_overfit.py):
+    #   stage 1: 1-2 word utterances, aux losses + SpecAugment off
+    #   stage 2: <=5 words + code-switch, everything ramps on
+    #   stage 3: full-length mix incl. real windows
+    curriculum = stage1_steps > 0
+    if curriculum:
+        batcher.set_curriculum(min_words=1, max_words=2, simple_only=True)
+
+    def stage_weights(i: int):
+        if not curriculum:
+            return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0}
+        if i < stage1_steps:
+            return {"w_spk": 0.0, "w_trans": 0.0, "w_aug": 0.0}
+        return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0}
+
     sample = next(iter(batcher))
     init_state, train_step = make_train_step(
         cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps,
                                      # cosine completes at the run's end
                                      decay_steps=max(steps, warmup_steps + 1)),
-        from_samples=True, batch_keys=tuple(sample.keys()),
+        from_samples=True,
+        batch_keys=tuple(sample.keys()) + ("w_spk", "w_trans", "w_aug"),
         with_translator=True,
         # milder than the ASR default: synthetic units are short (one char
         # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
@@ -197,11 +216,20 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         for i, batch in enumerate(batcher):
             if i >= steps:
                 break
+            if curriculum and i == stage1_steps:
+                batcher.set_curriculum(min_words=1, max_words=5,
+                                       clear_pool=True)
+                print(f"curriculum stage 2 at step {i}", flush=True)
+            if curriculum and stage2_steps and i == stage1_steps + stage2_steps:
+                batcher.set_curriculum()  # full-length mix + real windows
+                print(f"curriculum stage 3 at step {i}", flush=True)
             dev_batch = {
                 k: jnp.asarray(
                     np.clip(v * 32768.0, -32768, 32767).astype(np.int16)
                     if k == "samples" else v)
                 for k, v in batch.items()}
+            dev_batch.update({k: jnp.float32(v)
+                              for k, v in stage_weights(i).items()})
             params, opt_state, step, metrics = train_step(
                 params, opt_state, dev_batch, step)
             audio_s += float(batch["mask"].sum()) * cfg.frontend.hop_length \
@@ -256,6 +284,11 @@ def main():
     ap.add_argument("--pallas-kernels", action="store_true",
                     help="train through the flash-attention + fused-conv "
                          "Pallas kernels (TPU only; pads T to tile blocks)")
+    ap.add_argument("--stage1-steps", type=int, default=0,
+                    help="length-curriculum stage 1 (1-2 words, aux losses "
+                         "off); 0 disables the curriculum")
+    ap.add_argument("--stage2-steps", type=int, default=0,
+                    help="stage 2 length (<=5 words); then full mix")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -267,7 +300,9 @@ def main():
                 ckpt_dir=args.ckpt_dir, eval_every=args.eval_every,
                 seed=args.seed, warmup_steps=args.warmup_steps,
                 resume_from=args.resume_from, metrics_log=args.metrics_log,
-                pallas_kernels=args.pallas_kernels)
+                pallas_kernels=args.pallas_kernels,
+                stage1_steps=args.stage1_steps,
+                stage2_steps=args.stage2_steps)
 
 
 if __name__ == "__main__":
