@@ -156,9 +156,11 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
     #   stage 1: 1-2 word utterances, aux losses + SpecAugment off
     #   stage 2: <=5 words + code-switch, everything ramps on
     #   stage 3: full-length mix incl. real windows
-    curriculum = stage1_steps > 0
-    if curriculum:
+    curriculum = stage1_steps > 0 or stage2_steps > 0
+    if stage1_steps > 0:
         batcher.set_curriculum(min_words=1, max_words=2, simple_only=True)
+    elif stage2_steps > 0:   # resumed run entering directly at stage 2
+        batcher.set_curriculum(min_words=1, max_words=5)
 
     def stage_weights(i: int):
         if not curriculum:
@@ -216,7 +218,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         for i, batch in enumerate(batcher):
             if i >= steps:
                 break
-            if curriculum and i == stage1_steps:
+            if curriculum and stage1_steps and i == stage1_steps:
                 batcher.set_curriculum(min_words=1, max_words=5,
                                        clear_pool=True)
                 print(f"curriculum stage 2 at step {i}", flush=True)
