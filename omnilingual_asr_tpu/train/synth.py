@@ -729,11 +729,22 @@ class SynthBatcher:
                 "translation": ex.translation, "char_spans": ex.char_spans,
                 "lid_span_langs": None}
 
+    def set_pool(self, pool_max: int, reuse_p: float) -> None:
+        """Pool-size curriculum: CTC-from-scratch breaks off the unigram-
+        prior plateau by (partially) memorizing a SMALL pool first — the
+        per-char acoustics learned there transfer — then the pool grows so
+        generalization takes over (see tools/diag_overfit.py findings)."""
+        self._pool_max = int(pool_max)
+        self._reuse_p = reuse_p if pool_max else 0.0
+        if len(self._pool) > self._pool_max:
+            self._pool = self._pool[: self._pool_max]
+
     def _draw(self, rng) -> dict:
         pool = self._pool   # snapshot: set_curriculum may swap the list
-        if (self._pool_max and len(pool) >= 64
+        pmax = self._pool_max
+        if (pmax and len(pool) >= min(64, pmax)
                 and rng.random() < self._reuse_p
-                * min(1.0, len(pool) / 512.0)):
+                * min(1.0, len(pool) / float(pmax))):
             return pool[int(rng.integers(len(pool)))]
         ex = self._one(rng)
         if self._pool_max:

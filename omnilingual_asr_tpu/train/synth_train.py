@@ -126,7 +126,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 resume_from: Optional[str] = None,
                 metrics_log: Optional[str] = None,
                 pallas_kernels: bool = False,
-                stage1_steps: int = 0, stage2_steps: int = 0):
+                stage1_steps: int = 0, stage2_steps: int = 0,
+                pool_schedule: Optional[str] = None):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -156,6 +157,24 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
     #   stage 1: 1-2 word utterances, aux losses + SpecAugment off
     #   stage 2: <=5 words + code-switch, everything ramps on
     #   stage 3: full-length mix incl. real windows
+    # Pool-size curriculum ("256:1.0:2500,1024:0.92:2500,...:0" — last
+    # entry with steps=0 holds for the rest of the run): memorize a small
+    # pool to break the CTC prior plateau, then grow it so held-out
+    # generalization takes over.
+    pool_stages: List[Tuple[int, float, int]] = []
+    if pool_schedule:
+        for part in pool_schedule.split(","):
+            pmax, rp, n = part.split(":")
+            pool_stages.append((int(pmax), float(rp), int(n)))
+        p0 = pool_stages[0]
+        batcher.set_pool(p0[0], p0[1])
+        print(f"pool stage 0: max={p0[0]} reuse_p={p0[1]}", flush=True)
+    pool_boundaries = []
+    acc = 0
+    for (pmax, rp, n) in pool_stages[:-1] if pool_stages else []:
+        acc += n
+        pool_boundaries.append(acc)
+
     curriculum = stage1_steps > 0 or stage2_steps > 0
     if stage1_steps > 0:
         batcher.set_curriculum(min_words=1, max_words=2, simple_only=True)
@@ -218,6 +237,12 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         for i, batch in enumerate(batcher):
             if i >= steps:
                 break
+            if pool_boundaries and i == pool_boundaries[0]:
+                pool_boundaries.pop(0)
+                nxt = pool_stages[len(pool_stages) - len(pool_boundaries) - 1]
+                batcher.set_pool(nxt[0], nxt[1])
+                print(f"pool stage at step {i}: max={nxt[0]} "
+                      f"reuse_p={nxt[1]}", flush=True)
             if curriculum and stage1_steps and i == stage1_steps:
                 batcher.set_curriculum(min_words=1, max_words=5,
                                        clear_pool=True)
@@ -291,6 +316,10 @@ def main():
                          "off); 0 disables the curriculum")
     ap.add_argument("--stage2-steps", type=int, default=0,
                     help="stage 2 length (<=5 words); then full mix")
+    ap.add_argument("--pool-schedule", default=None,
+                    help="pool-size curriculum 'max:reuse_p:steps,...' "
+                         "(last steps=0 holds); e.g. "
+                         "'256:1.0:2500,1024:0.92:2500,4096:0.85:0'")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -304,7 +333,8 @@ def main():
                 resume_from=args.resume_from, metrics_log=args.metrics_log,
                 pallas_kernels=args.pallas_kernels,
                 stage1_steps=args.stage1_steps,
-                stage2_steps=args.stage2_steps)
+                stage2_steps=args.stage2_steps,
+                pool_schedule=args.pool_schedule)
 
 
 if __name__ == "__main__":
