@@ -122,7 +122,7 @@ class TranscriptionEngine:
         translator_path: Optional[str] = None,
         summarizer_params=None,
         summarizer_path: Optional[str] = None,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
         long_mode: str = "window",
         ingress: Optional[str] = None,
     ) -> None:
@@ -217,12 +217,27 @@ class TranscriptionEngine:
             "spk_proj": jax.tree.map(np.asarray, params["spk_proj"])}
         specs = asr_param_specs(cfg)
         if quantize:
-            # W8A16 serving: int8 dense weights (half the HBM footprint and
-            # weight bandwidth; ops/quant.py).
+            # Int8 serving: quantize=True stores int8 dense weights (half
+            # the HBM footprint/bandwidth) dequantized into bf16 matmuls;
+            # quantize="a8" additionally routes through the Pallas W8A8
+            # kernel (int8 x int8 double-rate MXU, v5e+) and "w8" through
+            # the W8A16 Pallas kernel. Kernel modes are single-chip only:
+            # under tensor parallelism GSPMD partitions the XLA matmul,
+            # so the dequant path stays in charge there.
+            from .models import layers as _L
             from .ops.quant import quantize_param_tree, quantize_spec_tree
 
             params = quantize_param_tree(params)
             specs = quantize_spec_tree(specs)
+            if quantize in ("a8", "w8"):
+                if self.mesh.shape["model"] != 1:
+                    raise ValueError(
+                        "quantize='a8'/'w8' (Pallas kernels) requires "
+                        "model-parallel axis 1; use quantize=True with TP")
+        #: Pallas quant-kernel mode; asserted around dispatch (tracing is
+        #: lazy, so the layers-module flag is only held while this engine's
+        #: program traces/runs — other engines are unaffected).
+        self._quant_kernel = quantize if quantize in ("a8", "w8") else None
         self.params = shard_params(params, specs, self.mesh)
 
         # Window geometry.
@@ -387,11 +402,21 @@ class TranscriptionEngine:
                         max_attempts: int = 2):
         """Dispatch one batch with re-dispatch on device error (transient
         XLA/runtime failures re-run once before surfacing)."""
+        from .models import layers as _L
+
         last = None
         for _ in range(max_attempts):
             try:
-                return self._process(self.params, samples_b, nvalid_b,
-                                     ctc_mask)
+                if self._quant_kernel is not None:
+                    _L.set_quant_kernel(
+                        self._quant_kernel,
+                        interpret=jax.default_backend() == "cpu")
+                try:
+                    return self._process(self.params, samples_b, nvalid_b,
+                                         ctc_mask)
+                finally:
+                    if self._quant_kernel is not None:
+                        _L.set_quant_kernel(None)
             except jax.errors.JaxRuntimeError as e:  # pragma: no cover
                 last = e
         raise last

@@ -41,8 +41,35 @@ def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True):
     return p
 
 
+#: When set ("a8" | "w8"), quantized dense layers route through the Pallas
+#: kernels in ops/quant.py instead of dequantize+XLA-matmul. "a8" runs the
+#: int8 x int8 double-rate MXU path (v5e). Single-chip serving only — under
+#: tensor parallelism the weights are sharded and the XLA path (which GSPMD
+#: partitions) stays in charge. Set via set_quant_kernel() BEFORE tracing.
+_QUANT_KERNEL: Optional[str] = None
+_QUANT_INTERPRET: bool = False
+
+
+def set_quant_kernel(mode: Optional[str], interpret: bool = False) -> None:
+    global _QUANT_KERNEL, _QUANT_INTERPRET
+    assert mode in (None, "a8", "w8"), mode
+    _QUANT_KERNEL = mode
+    _QUANT_INTERPRET = interpret
+
+
 def dense_apply(p, x, dtype=jnp.bfloat16):
     if "w_q" in p:
+        if _QUANT_KERNEL is not None:
+            from ..ops.quant import dense_quant_matmul, kernel_shapes_ok
+
+            K, N = p["w_q"].shape
+            if kernel_shapes_ok(K, N):
+                y = dense_quant_matmul(x, p["w_q"], p["w_scale"],
+                                       mode=_QUANT_KERNEL,
+                                       interpret=_QUANT_INTERPRET)
+                if "b" in p:
+                    y = y + p["b"].astype(jnp.float32)
+                return y
         # W8A16 serving path (ops/quant.py): int8 weights live in HBM and
         # dequantize on the way into the MXU.
         w = p["w_q"].astype(dtype) * p["w_scale"].astype(dtype)[None, :]

@@ -143,6 +143,37 @@ def quantized_matmul_a8(x: jnp.ndarray, w_q: jnp.ndarray,
     )(x.astype(jnp.float32), w_q, scale[None, :].astype(jnp.float32))
 
 
+def kernel_shapes_ok(in_dim: int, out_dim: int) -> bool:
+    """The Pallas kernels tile N by BLOCK_N and keep K whole in VMEM."""
+    return out_dim % BLOCK_N == 0 and in_dim % 128 == 0
+
+
+def dense_quant_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
+                       scale: jnp.ndarray, mode: str = "a8",
+                       interpret: bool = False) -> jnp.ndarray:
+    """Shape-flexible front end for the quantized Pallas matmuls.
+
+    x: [..., K] any leading shape; flattens to [M, K], pads M up to
+    BLOCK_M, dispatches to the W8A8 (``mode="a8"``, int8 x int8 double-rate
+    MXU path) or W8A16 (``mode="w8"``) kernel, and restores the shape.
+    Caller must check :func:`kernel_shapes_ok` first.
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, K)
+    Mp = ((M + BLOCK_M - 1) // BLOCK_M) * BLOCK_M
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    fn = quantized_matmul_a8 if mode == "a8" else quantized_matmul
+    y = fn(x2, w_q, scale, interpret=interpret)
+    if Mp != M:
+        y = y[:M]
+    return y.reshape(*lead, w_q.shape[1])
+
+
 def quantize_param_tree(params) -> Dict:
     """Quantize every dense 2-D weight in an ASR param pytree; returns a new
     tree where each quantized leaf dict {"w": ...} becomes

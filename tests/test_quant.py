@@ -113,3 +113,74 @@ class TestW8A8:
         want = x @ np.asarray(w)
         rel = np.abs(got[1:] - want[1:]) / np.maximum(np.abs(want[1:]), 1.0)
         assert rel.mean() < 0.02
+
+
+class TestQuantKernelWiring:
+    """The Pallas quant kernels wired into dense_apply (set_quant_kernel)."""
+
+    def test_dense_apply_a8_matches_dequant_path(self, rng):
+        from omnilingual_asr_tpu.models import layers as L
+
+        p = {"w": jnp.asarray(rng.standard_normal((128, 512)),
+                              jnp.float32) * 0.05,
+             "b": jnp.asarray(rng.standard_normal(512), jnp.float32)}
+        qp = quantize_param_tree({"d": p})["d"]
+        x = jnp.asarray(rng.standard_normal((3, 70, 128)), jnp.float32)
+        want = np.asarray(L.dense_apply(qp, x))       # dequant + XLA matmul
+        L.set_quant_kernel("a8", interpret=True)
+        try:
+            got = np.asarray(L.dense_apply(qp, x))    # Pallas W8A8 kernel
+        finally:
+            L.set_quant_kernel(None)
+        assert got.shape == want.shape
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+        assert rel.mean() < 0.02, rel.mean()
+
+    def test_dense_apply_w8_kernel_and_fallback(self, rng):
+        from omnilingual_asr_tpu.models import layers as L
+
+        # N=512 tiles the kernel; N=96 must silently fall back.
+        for N in (512, 96):
+            p = {"w": jnp.asarray(rng.standard_normal((128, N)),
+                                  jnp.float32) * 0.05}
+            qp = quantize_param_tree({"d": p})["d"]
+            x = jnp.asarray(rng.standard_normal((40, 128)), jnp.float32)
+            want = np.asarray(L.dense_apply(qp, x))
+            L.set_quant_kernel("w8", interpret=True)
+            try:
+                got = np.asarray(L.dense_apply(qp, x))
+            finally:
+                L.set_quant_kernel(None)
+            rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0)
+            assert rel.mean() < 0.02, (N, rel.mean())
+
+    def test_engine_a8_transcribes(self, tmp_path):
+        import wave
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        p = tmp_path / "a8.wav"
+        x = (np.sin(np.arange(16000) * 0.08) * 15000).astype("<i2")
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.tobytes())
+        eng = TranscriptionEngine(config=tiny_config(), quantize="a8",
+                                  batch_windows_per_device=1,
+                                  window_seconds=5.0)
+        res = eng.transcribe(p)
+        assert res is not None
+
+    def test_engine_a8_rejects_tensor_parallel(self):
+        import pytest
+
+        from omnilingual_asr_tpu.config import MeshConfig, tiny_config
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=2))
+        with pytest.raises(ValueError, match="model-parallel"):
+            TranscriptionEngine(config=cfg, quantize="a8")
