@@ -75,6 +75,29 @@ def main() -> None:
                 "unit": "ms", "xla_ms": round(dt_xla * 1e3, 3),
                 "speedup": round(dt_xla / dt_flash, 2)})
 
+    # --- int8 matmul kernels vs bf16 XLA (serving FFN shape) ---------------
+    from omnilingual_asr_tpu.ops.quant import (
+        quantize_weight,
+        quantized_matmul,
+        quantized_matmul_a8,
+    )
+
+    M, K, N = 4096, 512, 2048
+    xq = jnp.asarray(rng.standard_normal((M, K)), jnp.float32) * 0.1
+    wf = jnp.asarray(rng.standard_normal((K, N)), jnp.float32) * 0.05
+    w_q, w_s = quantize_weight(wf)
+    dt_bf16 = timeit(jax.jit(lambda a, b: jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)), xq, wf)
+    dt_w8 = timeit(lambda a: quantized_matmul(a, w_q, w_s), xq)
+    dt_a8 = timeit(lambda a: quantized_matmul_a8(a, w_q, w_s), xq)
+    out.append({"metric": "int8_matmul", "unit": "ms",
+                "bf16_ms": round(dt_bf16 * 1e3, 3),
+                "w8a16_ms": round(dt_w8 * 1e3, 3),
+                "w8a8_ms": round(dt_a8 * 1e3, 3),
+                "value": round(dt_a8 * 1e3, 3),
+                "a8_speedup_vs_bf16": round(dt_bf16 / dt_a8, 2)})
+
     # --- full device program (engine._process) -----------------------------
     from omnilingual_asr_tpu.engine import TranscriptionEngine
 
