@@ -100,6 +100,23 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
     total = l_ctc + 0.1 * (l_lid + l_emo)
     metrics = {"ctc": l_ctc, "lid": l_lid, "emotion": l_emo}
 
+    if "char_frame_label" in batch:
+        # Dense per-frame byte CE from the synthesizer's exact char spans:
+        # supervises the CTC logits directly WITHOUT the alignment search,
+        # bootstrapping the char->acoustics mapping that from-scratch CTC
+        # takes tens of thousands of steps to discover (the "unigram prior
+        # plateau"). Annealed away via the w_fce ramp scalar once CTC has
+        # locked on — frame CE never uses blank, so at convergence the two
+        # objectives disagree slightly.
+        lbl = batch["char_frame_label"]
+        valid = (lbl >= 0) & out["mask"]
+        logp_f = jax.nn.log_softmax(out["ctc_logits"], axis=-1)
+        pick_f = jnp.take_along_axis(
+            logp_f, jnp.maximum(lbl, 0)[:, :, None], axis=-1)[:, :, 0]
+        l_fce = -(pick_f * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+        total = total + batch.get("w_fce", 1.0) * l_fce
+        metrics["frame_ce"] = l_fce
+
     if cfg.encoder.n_experts > 0:
         # Switch-style load-balance aux (summed over blocks in asr_forward);
         # 0.01 is the standard coefficient (Fedus et al.).
@@ -144,6 +161,7 @@ _BATCH_KEY_SPECS: Dict[str, P] = {
     "emotion_label": P("data"),
     "speaker_label": P("data"),
     "lid_frame_label": P("data", None),
+    "char_frame_label": P("data", None),
     "trans_in": P("data", None),
     "trans_tgt": P("data", None),
     "trans_mask": P("data", None),
@@ -152,6 +170,7 @@ _BATCH_KEY_SPECS: Dict[str, P] = {
     "w_spk": P(),
     "w_trans": P(),
     "w_aug": P(),
+    "w_fce": P(),
 }
 
 _LEGACY_KEYS = ("mel", "mask", "labels", "label_mask", "lid_label",

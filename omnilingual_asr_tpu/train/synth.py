@@ -768,6 +768,7 @@ class SynthBatcher:
         spk = np.zeros(B, np.int32)
         Tp = self.window_frames // self.sub
         lid_frames = np.full((B, Tp), -1, np.int32)
+        char_frames = np.full((B, Tp), -1, np.int32)
         tin = np.zeros((B, self.max_trans_len), np.int32)
         ttgt = np.zeros((B, self.max_trans_len), np.int32)
         tmask = np.zeros((B, self.max_trans_len), bool)
@@ -816,6 +817,31 @@ class SynthBatcher:
                     fa = int(s0 / fe.sample_rate / frame_dur)
                     fb = int(min(s1, n) / fe.sample_rate / frame_dur)
                     lid_frames[b, fa:min(fb + 1, Tp)] = max(lidc, 0)
+                # frame-level CHARACTER supervision from the same spans:
+                # the synthesizer knows exactly which char sounds when, so
+                # a dense per-frame byte CE can bootstrap the acoustics
+                # without CTC's alignment search (loss_fn "char_frame_label")
+                text = ex["text"]
+                for ci, (s0, s1) in enumerate(spans):
+                    if s0 >= n or ci >= len(text):
+                        break
+                    ch = text[ci]
+                    if ch.isspace():
+                        continue   # leave blank-eligible frames unlabeled
+                    ids = [self.cfg.vocab.byte_to_id(x)
+                           for x in ch.encode("utf-8")]
+                    fa = int(s0 / fe.sample_rate / frame_dur)
+                    fb = min(int(min(s1, n) / fe.sample_rate / frame_dur)
+                             + 1, Tp)
+                    nf = fb - fa
+                    if nf <= 0:
+                        continue
+                    # multi-byte chars: split the span evenly across bytes
+                    # (preserves the byte order CTC must emit)
+                    for k, bid in enumerate(ids):
+                        a = fa + (nf * k) // len(ids)
+                        z = fa + (nf * (k + 1)) // len(ids)
+                        char_frames[b, a:max(z, a + 1)] = bid
             else:
                 nf = min(Tp, int(n / fe.sample_rate / frame_dur))
                 lid_frames[b, :nf] = max(lang_id, 0)
@@ -833,6 +859,7 @@ class SynthBatcher:
             "samples": samples, "mask": mask, "labels": labels,
             "label_mask": lmask, "lid_label": lid, "emotion_label": emo,
             "speaker_label": spk, "lid_frame_label": lid_frames,
+            "char_frame_label": char_frames,
             "trans_in": tin, "trans_tgt": ttgt, "trans_mask": tmask,
         }
 

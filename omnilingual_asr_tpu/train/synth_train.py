@@ -127,7 +127,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 metrics_log: Optional[str] = None,
                 pallas_kernels: bool = False,
                 stage1_steps: int = 0, stage2_steps: int = 0,
-                pool_schedule: Optional[str] = None):
+                pool_schedule: Optional[str] = None,
+                fce_steps: int = 0):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -182,11 +183,19 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         batcher.set_curriculum(min_words=1, max_words=5)
 
     def stage_weights(i: int):
+        # frame-CE bootstrap: full strength through fce_steps, linear decay
+        # to zero over the following fce_steps (CTC takes over)
+        if fce_steps > 0:
+            w_fce = float(np.clip(2.0 - i / float(fce_steps), 0.0, 1.0))
+        else:
+            w_fce = 0.0
         if not curriculum:
-            return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0}
+            return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0,
+                    "w_fce": w_fce}
         if i < stage1_steps:
-            return {"w_spk": 0.0, "w_trans": 0.0, "w_aug": 0.0}
-        return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0}
+            return {"w_spk": 0.0, "w_trans": 0.0, "w_aug": 0.0,
+                    "w_fce": w_fce}
+        return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0, "w_fce": w_fce}
 
     sample = next(iter(batcher))
     init_state, train_step = make_train_step(
@@ -320,6 +329,9 @@ def main():
                     help="pool-size curriculum 'max:reuse_p:steps,...' "
                          "(last steps=0 holds); e.g. "
                          "'256:1.0:2500,1024:0.92:2500,4096:0.85:0'")
+    ap.add_argument("--fce-steps", type=int, default=0,
+                    help="frame-level char-CE bootstrap: full weight "
+                         "through N steps, linear decay to 0 by 2N")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -334,7 +346,8 @@ def main():
                 pallas_kernels=args.pallas_kernels,
                 stage1_steps=args.stage1_steps,
                 stage2_steps=args.stage2_steps,
-                pool_schedule=args.pool_schedule)
+                pool_schedule=args.pool_schedule,
+                fce_steps=args.fce_steps)
 
 
 if __name__ == "__main__":

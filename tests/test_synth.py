@@ -245,3 +245,88 @@ class TestManifests:
         assert len(items) == 2
         assert items[0]["text"] == "hello world"
         assert items[0]["audio"].endswith("19-198-0000.flac")
+
+
+class TestCharFrameLabels:
+    """Frame-level character supervision (char_frame_label) built from the
+    synthesizer's exact char spans — the dense CE bootstrap for CTC."""
+
+    def test_char_frames_match_text_bytes(self):
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.train.synth import SynthBatcher
+
+        cfg = tiny_config()
+        b = SynthBatcher(cfg, batch_size=4, window_seconds=4.0, seed=3,
+                         n_threads=1, real_fraction=0.0,
+                         codeswitch_fraction=0.0)
+        batch = next(iter(b))
+        b.close()
+        cf = batch["char_frame_label"]
+        labels, lmask = batch["labels"], batch["label_mask"]
+        assert cf.shape == batch["lid_frame_label"].shape
+        for i in range(4):
+            lab = set(labels[i][lmask[i]].tolist())
+            got = [v for v in cf[i].tolist() if v >= 0]
+            assert got, "no labeled frames"
+            # every labeled frame carries a byte id that occurs in the CTC
+            # label sequence (space chars are left unlabeled)
+            space_id = cfg.vocab.byte_to_id(ord(" "))
+            assert set(got) <= lab - {space_id} | lab
+            # collapsing consecutive duplicates reproduces a subsequence of
+            # the label byte order (frame labels are time-ordered)
+            collapsed = [got[0]] + [a for a, p in zip(got[1:], got[:-1])
+                                    if a != p]
+            seq = [v for v in labels[i][lmask[i]].tolist()
+                   if v != space_id]
+            it = iter(seq)
+            assert all(any(s == c for s in it) for c in collapsed), \
+                "frame labels out of label order"
+
+    def test_pool_schedule_knob(self):
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.train.synth import SynthBatcher
+
+        cfg = tiny_config()
+        b = SynthBatcher(cfg, batch_size=2, window_seconds=2.0, seed=0,
+                         n_threads=1, reuse_pool=8, reuse_p=1.0)
+        b.set_pool(4, 1.0)
+        next(iter(b))
+        assert b._pool_max == 4 and len(b._pool) <= 4
+        b.close()
+
+    def test_frame_ce_loss_drops_with_supervision(self):
+        """loss_fn reports frame_ce and the w_fce scalar scales it."""
+        import jax
+        import jax.numpy as jnp
+
+        from omnilingual_asr_tpu.config import MeshConfig, tiny_config
+        from omnilingual_asr_tpu.parallel.mesh import build_mesh
+        from omnilingual_asr_tpu.train.step import (
+            make_optimizer,
+            make_train_step,
+        )
+        from omnilingual_asr_tpu.train.synth import SynthBatcher
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=1))
+        mesh = build_mesh(cfg.mesh, devices=jax.devices()[:1])
+        b = SynthBatcher(cfg, batch_size=2, window_seconds=2.0, seed=0,
+                         n_threads=1)
+        batch = next(iter(b))
+        b.close()
+        keys = tuple(batch.keys()) + ("w_fce",)
+        init_state, train_step = make_train_step(
+            cfg, mesh, tx=make_optimizer(lr=3e-3, warmup_steps=2),
+            from_samples=True, batch_keys=keys, with_translator=True)
+        state = init_state(seed=0)
+        params, opt_state, step = state.params, state.opt_state, state.step
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev["w_fce"] = jnp.float32(1.0)
+        first = None
+        for _ in range(8):
+            params, opt_state, step, metrics = train_step(
+                params, opt_state, dev, step)
+            if first is None:
+                first = float(metrics["frame_ce"])
+        assert "frame_ce" in metrics
+        assert float(metrics["frame_ce"]) < first, (
+            first, float(metrics["frame_ce"]))
