@@ -203,7 +203,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                                      # cosine completes at the run's end
                                      decay_steps=max(steps, warmup_steps + 1)),
         from_samples=True,
-        batch_keys=tuple(sample.keys()) + ("w_spk", "w_trans", "w_aug"),
+        batch_keys=tuple(sample.keys()) + ("w_spk", "w_trans", "w_aug",
+                                           "w_fce"),
         with_translator=True,
         # milder than the ASR default: synthetic units are short (one char
         # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
