@@ -78,6 +78,10 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
     out = asr_forward(params, batch["mel"], batch["mask"], cfg)
     l_ctc = ctc_loss(out["ctc_logits"], out["mask"], batch["labels"],
                      batch["label_mask"], blank_id=cfg.vocab.blank_id)
+    # w_ctc (curriculum scalar): phased training holds CTC at 0 while the
+    # dense frame-CE bootstrap learns the acoustics (CTC's blank-pushing
+    # gradient is ~30x larger and otherwise drowns it), then ramps to 1.
+    w_ctc = batch.get("w_ctc", 1.0)
 
     sub_mask = out["mask"].astype(jnp.float32)[:, :, None]
     denom = jnp.maximum(sub_mask.sum(axis=1), 1.0)
@@ -97,7 +101,7 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
     else:
         l_lid = pooled_ce(out["lid_logits"], batch["lid_label"])
     l_emo = pooled_ce(out["emotion_logits"], batch["emotion_label"])
-    total = l_ctc + 0.1 * (l_lid + l_emo)
+    total = w_ctc * l_ctc + 0.1 * (l_lid + l_emo)
     metrics = {"ctc": l_ctc, "lid": l_lid, "emotion": l_emo}
 
     if "char_frame_label" in batch:
@@ -171,6 +175,7 @@ _BATCH_KEY_SPECS: Dict[str, P] = {
     "w_trans": P(),
     "w_aug": P(),
     "w_fce": P(),
+    "w_ctc": P(),
 }
 
 _LEGACY_KEYS = ("mel", "mask", "labels", "label_mask", "lid_label",

@@ -183,19 +183,28 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         batcher.set_curriculum(min_words=1, max_words=5)
 
     def stage_weights(i: int):
-        # frame-CE bootstrap: full strength through fce_steps, linear decay
-        # to zero over the following fce_steps (CTC takes over)
+        # Phased bootstrap (see train/step.py loss_fn): frame CE alone
+        # first (CTC off — its blank-pushing gradient is ~30x larger and
+        # drowns the dense signal), then CTC ramps in while frame CE
+        # anneals out:
+        #   [0, 0.6*fce)        w_fce=1, w_ctc=0   acoustics only
+        #   [0.6*fce, 1.2*fce)  w_ctc 0 -> 1       alignment takes over
+        #   [fce, 2*fce)        w_fce 1 -> 0       bootstrap fades out
         if fce_steps > 0:
             w_fce = float(np.clip(2.0 - i / float(fce_steps), 0.0, 1.0))
+            w_ctc = float(np.clip((i - 0.6 * fce_steps) / (0.6 * fce_steps),
+                                  0.0, 1.0))
         else:
             w_fce = 0.0
+            w_ctc = 1.0
         if not curriculum:
             return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0,
-                    "w_fce": w_fce}
+                    "w_fce": w_fce, "w_ctc": w_ctc}
         if i < stage1_steps:
             return {"w_spk": 0.0, "w_trans": 0.0, "w_aug": 0.0,
-                    "w_fce": w_fce}
-        return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0, "w_fce": w_fce}
+                    "w_fce": w_fce, "w_ctc": w_ctc}
+        return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0,
+                "w_fce": w_fce, "w_ctc": w_ctc}
 
     sample = next(iter(batcher))
     init_state, train_step = make_train_step(
@@ -204,7 +213,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                                      decay_steps=max(steps, warmup_steps + 1)),
         from_samples=True,
         batch_keys=tuple(sample.keys()) + ("w_spk", "w_trans", "w_aug",
-                                           "w_fce"),
+                                           "w_fce", "w_ctc"),
         with_translator=True,
         # milder than the ASR default: synthetic units are short (one char
         # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
