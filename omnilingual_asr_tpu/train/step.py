@@ -76,11 +76,18 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
           X->English translation CE over the shared encoder states.
     """
     out = asr_forward(params, batch["mel"], batch["mask"], cfg)
-    l_ctc = ctc_loss(out["ctc_logits"], out["mask"], batch["labels"],
-                     batch["label_mask"], blank_id=cfg.vocab.blank_id)
-    # w_ctc (curriculum scalar): phased training holds CTC at 0 while the
-    # dense frame-CE bootstrap learns the acoustics (CTC's blank-pushing
-    # gradient is ~30x larger and otherwise drowns it), then ramps to 1.
+    l_ctc_seq = ctc_loss(out["ctc_logits"], out["mask"], batch["labels"],
+                         batch["label_mask"], blank_id=cfg.vocab.blank_id)
+    # Normalize CTC to PER-LABEL-TOKEN nats: the per-sequence sum is ~40x
+    # larger than every other objective, so its gradient drowns the dense
+    # frame-CE bootstrap and the aux heads (observed: frame CE driven above
+    # uniform). Per-token, all losses are O(1-5) and coexist; the global-
+    # norm clip keeps update magnitudes unchanged.
+    n_seq = jnp.maximum(batch["label_mask"].any(axis=-1).sum(), 1)
+    n_tok = jnp.maximum(batch["label_mask"].sum(), 1)
+    l_ctc = l_ctc_seq * n_seq / n_tok
+    # w_ctc (curriculum scalar): ramps CTC in while the frame-CE bootstrap
+    # establishes the char acoustics.
     w_ctc = batch.get("w_ctc", 1.0)
 
     sub_mask = out["mask"].astype(jnp.float32)[:, :, None]

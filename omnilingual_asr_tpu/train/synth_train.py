@@ -183,17 +183,13 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         batcher.set_curriculum(min_words=1, max_words=5)
 
     def stage_weights(i: int):
-        # Phased bootstrap (see train/step.py loss_fn): frame CE alone
-        # first (CTC off — its blank-pushing gradient is ~30x larger and
-        # drowns the dense signal), then CTC ramps in while frame CE
-        # anneals out:
-        #   [0, 0.6*fce)        w_fce=1, w_ctc=0   acoustics only
-        #   [0.6*fce, 1.2*fce)  w_ctc 0 -> 1       alignment takes over
-        #   [fce, 2*fce)        w_fce 1 -> 0       bootstrap fades out
+        # Phased bootstrap (see train/step.py loss_fn; CTC is per-label-
+        # token normalized so the objectives are scale-balanced):
+        #   [0, fce)      w_fce=1, w_ctc ramps 0 -> 1 (acoustics first)
+        #   [fce, 2*fce)  w_fce 1 -> 0 (CTC takes over)
         if fce_steps > 0:
             w_fce = float(np.clip(2.0 - i / float(fce_steps), 0.0, 1.0))
-            w_ctc = float(np.clip((i - 0.6 * fce_steps) / (0.6 * fce_steps),
-                                  0.0, 1.0))
+            w_ctc = float(np.clip(i / float(fce_steps), 0.0, 1.0))
         else:
             w_fce = 0.0
             w_ctc = 1.0
