@@ -113,17 +113,21 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
 
     if "char_frame_label" in batch:
         # Dense per-frame byte CE from the synthesizer's exact char spans:
-        # supervises the CTC logits directly WITHOUT the alignment search,
-        # bootstrapping the char->acoustics mapping that from-scratch CTC
-        # takes tens of thousands of steps to discover (the "unigram prior
-        # plateau"). Annealed away via the w_fce ramp scalar once CTC has
-        # locked on — frame CE never uses blank, so at convergence the two
-        # objectives disagree slightly.
+        # supervises the char->acoustics mapping WITHOUT the alignment
+        # search, bootstrapping CTC past the "unigram prior plateau".
+        # Crucially it is computed on the BLANK-EXCLUDED renormalized
+        # distribution p(byte | not blank): CTC keeps free rein over blank
+        # mass (its early gradient pushes blank everywhere) while frame CE
+        # shapes the relative byte geometry — the two objectives no longer
+        # fight over the same softmax (observed stalemate otherwise).
+        assert cfg.vocab.blank_id == 0
+        n_real = 1 + cfg.vocab.n_bytes
         lbl = batch["char_frame_label"]
         valid = (lbl >= 0) & out["mask"]
-        logp_f = jax.nn.log_softmax(out["ctc_logits"], axis=-1)
+        logp_f = jax.nn.log_softmax(
+            out["ctc_logits"][..., 1:n_real], axis=-1)
         pick_f = jnp.take_along_axis(
-            logp_f, jnp.maximum(lbl, 0)[:, :, None], axis=-1)[:, :, 0]
+            logp_f, jnp.maximum(lbl - 1, 0)[:, :, None], axis=-1)[:, :, 0]
         l_fce = -(pick_f * valid).sum() / jnp.maximum(valid.sum(), 1.0)
         total = total + batch.get("w_fce", 1.0) * l_fce
         metrics["frame_ce"] = l_fce

@@ -183,16 +183,15 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         batcher.set_curriculum(min_words=1, max_words=5)
 
     def stage_weights(i: int):
-        # Phased bootstrap (see train/step.py loss_fn; CTC is per-label-
-        # token normalized so the objectives are scale-balanced):
-        #   [0, fce)      w_fce=1, w_ctc ramps 0 -> 1 (acoustics first)
-        #   [fce, 2*fce)  w_fce 1 -> 0 (CTC takes over)
+        # Frame-CE bootstrap (train/step.py loss_fn): blank-excluded frame
+        # CE and per-token CTC are non-competing, so both run at full
+        # weight; frame CE anneals out over [fce, 2*fce) once CTC has
+        # locked onto the bootstrapped acoustics.
         if fce_steps > 0:
             w_fce = float(np.clip(2.0 - i / float(fce_steps), 0.0, 1.0))
-            w_ctc = float(np.clip(i / float(fce_steps), 0.0, 1.0))
         else:
             w_fce = 0.0
-            w_ctc = 1.0
+        w_ctc = 1.0
         if not curriculum:
             return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0,
                     "w_fce": w_fce, "w_ctc": w_ctc}
