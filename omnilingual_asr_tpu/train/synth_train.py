@@ -128,7 +128,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 pallas_kernels: bool = False,
                 stage1_steps: int = 0, stage2_steps: int = 0,
                 pool_schedule: Optional[str] = None,
-                fce_steps: int = 0):
+                fce_steps: int = 0, aux_off: bool = False):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -192,6 +192,12 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         else:
             w_fce = 0.0
         w_ctc = 1.0
+        if aux_off:
+            # CTC(+frame-CE)-only gate runs (TRAINING_NOTES.md round-3
+            # recipe): drop the speaker/translation/SpecAugment terms
+            # without stage 1's utterance-length restriction.
+            return {"w_spk": 0.0, "w_trans": 0.0, "w_aug": 0.0,
+                    "w_fce": w_fce, "w_ctc": w_ctc}
         if not curriculum:
             return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0,
                     "w_fce": w_fce, "w_ctc": w_ctc}
@@ -338,6 +344,10 @@ def main():
                     help="frame-level char-CE bootstrap: full weight "
                          "through N steps, linear decay to 0 by 2N")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--aux-off", action="store_true",
+                    help="train CTC(+frame-CE) only: zero the speaker/"
+                         "translation/SpecAugment weights for the whole "
+                         "run (no length restriction)")
     args = ap.parse_args()
 
     cfg = tiny_config() if args.tiny else PipelineConfig()
@@ -352,7 +362,7 @@ def main():
                 stage1_steps=args.stage1_steps,
                 stage2_steps=args.stage2_steps,
                 pool_schedule=args.pool_schedule,
-                fce_steps=args.fce_steps)
+                fce_steps=args.fce_steps, aux_off=args.aux_off)
 
 
 if __name__ == "__main__":
