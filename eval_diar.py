@@ -65,15 +65,21 @@ def main():
 
     import wave
 
-    from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
+    from omnilingual_asr_tpu.config import config_for_checkpoint, PipelineConfig, tiny_config
     from omnilingual_asr_tpu.engine import TranscriptionEngine
     from omnilingual_asr_tpu.utils.metrics import der
 
-    # from_env: honor OMNIASR_CHECKPOINT / shipped-release discovery like
-    # the sibling eval scripts, so all published numbers use the same model.
-    cfg = tiny_config() if args.tiny else PipelineConfig.from_env()
-    if args.ckpt:
-        cfg = cfg.replace(checkpoint_path=args.ckpt)
+    if args.tiny:
+        cfg = tiny_config()
+        if args.ckpt:
+            cfg = cfg.replace(checkpoint_path=args.ckpt)
+    elif args.ckpt:
+        # Explicit --ckpt: adopt the checkpoint's own config.json dims and
+        # BYPASS release discovery (from_env would impose the installed
+        # release's dims on this checkpoint's weights; ADVICE r2 medium).
+        cfg = config_for_checkpoint(args.ckpt)
+    else:
+        cfg = PipelineConfig.from_env()
     engine = TranscriptionEngine(config=cfg, batch_windows_per_device=4)
 
     rng = np.random.default_rng(args.seed)

@@ -32,13 +32,21 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
-    from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
+    from omnilingual_asr_tpu.config import config_for_checkpoint, PipelineConfig, tiny_config
     from omnilingual_asr_tpu.engine import TranscriptionEngine
     from omnilingual_asr_tpu.train.synth import eval_set
 
-    cfg = tiny_config() if args.tiny else PipelineConfig.from_env()
-    if args.ckpt:
-        cfg = cfg.replace(checkpoint_path=args.ckpt)
+    if args.tiny:
+        cfg = tiny_config()
+        if args.ckpt:
+            cfg = cfg.replace(checkpoint_path=args.ckpt)
+    elif args.ckpt:
+        # Explicit --ckpt: adopt the checkpoint's own config.json dims and
+        # BYPASS release discovery (from_env would impose the installed
+        # release's dims on this checkpoint's weights; ADVICE r2 medium).
+        cfg = config_for_checkpoint(args.ckpt)
+    else:
+        cfg = PipelineConfig.from_env()
     engine = TranscriptionEngine(
         config=cfg,
         enable_translation=bool(args.translator),

@@ -67,21 +67,39 @@ def main():
     ap.add_argument("--ingress", default=None, choices=["i16", "mulaw"],
                     help="H2D wire format (audio/codec.py); quantifies the "
                          "WER cost of 8-bit companded ingress")
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "w8", "a8"],
+                    help="serve quantized and measure the WER delta vs "
+                         "bf16: int8 = dequant path (quantize=True), "
+                         "w8/a8 = Pallas W8A16/W8A8 kernels (TPU only; "
+                         "a8 does dynamic per-token activation quant "
+                         "in-kernel, no calibration needed)")
     args = ap.parse_args()
 
-    from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
+    from omnilingual_asr_tpu.config import config_for_checkpoint, PipelineConfig, tiny_config
     from omnilingual_asr_tpu.engine import TranscriptionEngine
     from omnilingual_asr_tpu.eval.harness import evaluate, load_manifest
 
     manifest = build_manifest(Path(args.out), args.n,
                               include_real=not args.no_real)
 
-    cfg = tiny_config() if args.tiny else PipelineConfig.from_env()
-    if args.ckpt:
-        cfg = cfg.replace(checkpoint_path=args.ckpt)
+    if args.tiny:
+        cfg = tiny_config()
+        if args.ckpt:
+            cfg = cfg.replace(checkpoint_path=args.ckpt)
+    elif args.ckpt:
+        # Explicit --ckpt: adopt the checkpoint's own config.json dims and
+        # BYPASS release discovery (from_env would impose the installed
+        # release's dims on this checkpoint's weights; ADVICE r2 medium).
+        cfg = config_for_checkpoint(args.ckpt)
+    else:
+        cfg = PipelineConfig.from_env()
+    quantize = {"none": False, "int8": True,
+                "w8": "w8", "a8": "a8"}[args.quantize]
     engine = TranscriptionEngine(config=cfg,
                                  window_seconds=args.window_seconds,
-                                 ingress=args.ingress)
+                                 ingress=args.ingress,
+                                 quantize=quantize)
 
     # Per-set reports (synthetic vs real speech), one engine.
     items = load_manifest(manifest)

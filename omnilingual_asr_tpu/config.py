@@ -135,6 +135,12 @@ class DecodeConfig:
     segment_min_s: float = 2.0        # segment granularity contract
     segment_max_s: float = 10.0       # (reference prompt, gemini_pipeline.py:206)
     blank_gap_s: float = 0.35         # blank run length that splits segments
+    lid_conf_threshold: float = 0.30  # min mean frame posterior for a
+    #                                   language to be reported; below it the
+    #                                   segment falls back to the user hint or
+    #                                   omits the language (keeps the ~2040
+    #                                   untrained LID classes from asserting
+    #                                   confidently wrong languages)
 
 
 @dataclass(frozen=True)
@@ -202,6 +208,26 @@ class PipelineConfig:
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
+
+
+def config_for_checkpoint(ckpt: str) -> "PipelineConfig":
+    """Config for an EXPLICIT checkpoint path, bypassing release discovery.
+
+    Eval tools take ``--ckpt``; building their config via :meth:`from_env`
+    would adopt whatever release checkpoint happens to be installed —
+    including its model dims, which then mismatch the requested
+    checkpoint's weights (ADVICE r2 medium). Instead: read the
+    ``config.json`` the trainer writes beside the checkpoint (self-
+    describing, like a release), falling back to code-default dims.
+    """
+    from pathlib import Path
+
+    p = Path(ckpt)
+    for cand in (p / "config.json", p.parent / "config.json"):
+        if cand.is_file():
+            return PipelineConfig.from_json(cand.read_text(),
+                                            checkpoint_path=str(ckpt))
+    return PipelineConfig(checkpoint_path=str(ckpt))
 
 
 def tiny_config() -> PipelineConfig:

@@ -46,27 +46,34 @@ def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True):
 #: int8 x int8 double-rate MXU path (v5e). Single-chip serving only — under
 #: tensor parallelism the weights are sharded and the XLA path (which GSPMD
 #: partitions) stays in charge. Set via set_quant_kernel() BEFORE tracing.
-_QUANT_KERNEL: Optional[str] = None
-_QUANT_INTERPRET: bool = False
+#: THREAD-LOCAL: tracing is lazy, so the flag is held only around an
+#: engine's own dispatch window; an engine tracing concurrently in another
+#: thread sees its own value, never this one's (ADVICE r2: a process-wide
+#: global baked the wrong matmul path into concurrent traces).
+_QUANT_STATE = __import__("threading").local()
 
 
 def set_quant_kernel(mode: Optional[str], interpret: bool = False) -> None:
-    global _QUANT_KERNEL, _QUANT_INTERPRET
     assert mode in (None, "a8", "w8"), mode
-    _QUANT_KERNEL = mode
-    _QUANT_INTERPRET = interpret
+    _QUANT_STATE.mode = mode
+    _QUANT_STATE.interpret = interpret
+
+
+def _quant_kernel_mode() -> Optional[str]:
+    return getattr(_QUANT_STATE, "mode", None)
 
 
 def dense_apply(p, x, dtype=jnp.bfloat16):
     if "w_q" in p:
-        if _QUANT_KERNEL is not None:
+        if _quant_kernel_mode() is not None:
             from ..ops.quant import dense_quant_matmul, kernel_shapes_ok
 
             K, N = p["w_q"].shape
             if kernel_shapes_ok(K, N):
                 y = dense_quant_matmul(x, p["w_q"], p["w_scale"],
-                                       mode=_QUANT_KERNEL,
-                                       interpret=_QUANT_INTERPRET)
+                                       mode=_QUANT_STATE.mode,
+                                       interpret=getattr(
+                                           _QUANT_STATE, "interpret", False))
                 if "b" in p:
                     y = y + p["b"].astype(jnp.float32)
                 return y

@@ -465,13 +465,16 @@ def make_example(rng: np.random.Generator, *,
 
 
 def make_codeswitch_example(rng: np.random.Generator,
-                            clean: bool = False) -> SynthExample:
+                            clean: bool = False,
+                            min_words: int = 2,
+                            max_words: int = 5) -> SynthExample:
     """Two-language utterance (code-switching, reference prompt req #4) with
-    per-char spans so frame LID labels switch mid-utterance."""
+    per-char spans so frame LID labels switch mid-utterance. min/max_words
+    bound EACH half (so the length curriculum can cap total length)."""
     la, lb = rng.choice(len(LANGUAGES), size=2, replace=False)
-    a = make_example(rng, min_words=2, max_words=5,
+    a = make_example(rng, min_words=min_words, max_words=max_words,
                      languages=[LANGUAGES[la]], clean=clean)
-    b = make_example(rng, min_words=2, max_words=5,
+    b = make_example(rng, min_words=min_words, max_words=max_words,
                      languages=[LANGUAGES[lb]], clean=clean)
     gap = np.zeros(int(0.12 * SAMPLE_RATE), np.float32)
     samples = np.concatenate([a.samples, gap, b.samples])
@@ -697,7 +700,12 @@ class SynthBatcher:
             r = rng.random()
             if (not self._simple_only
                     and r < self.codeswitch_fraction and (mw or 10) >= 4):
-                ex = make_codeswitch_example(rng, clean=True)
+                # Each half gets half the stage's word budget so stage-2
+                # (max_words=5) batches respect the length curriculum
+                # (ADVICE r2: full-length code-switch leaked in before).
+                ex = make_codeswitch_example(
+                    rng, clean=True, min_words=1,
+                    max_words=max(2, (mw or 10) // 2))
             else:
                 ex = make_example(rng, clean=True, **kw)
             return {"samples": ex.samples, "text": ex.text,

@@ -128,7 +128,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 pallas_kernels: bool = False,
                 stage1_steps: int = 0, stage2_steps: int = 0,
                 pool_schedule: Optional[str] = None,
-                fce_steps: int = 0, aux_off: bool = False):
+                fce_steps: int = 0, aux_off: bool = False,
+                aux_ramp_start: int = 0, aux_ramp_steps: int = 2000):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -192,6 +193,16 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         else:
             w_fce = 0.0
         w_ctc = 1.0
+        if aux_ramp_start > 0:
+            # TRAINING_NOTES.md round-3 recipe step 2: start from the
+            # proven aux-off regime, then ramp speaker/translation/
+            # SpecAugment 0 -> 1 over aux_ramp_steps once CTC has locked.
+            # The w_* scalars ride in the batch (traced), so the schedule
+            # costs no recompile.
+            w_aux = float(np.clip(
+                (i - aux_ramp_start) / max(1, aux_ramp_steps), 0.0, 1.0))
+            return {"w_spk": w_aux, "w_trans": w_aux, "w_aug": w_aux,
+                    "w_fce": w_fce, "w_ctc": w_ctc}
         if aux_off:
             # CTC(+frame-CE)-only gate runs (TRAINING_NOTES.md round-3
             # recipe): drop the speaker/translation/SpecAugment terms
@@ -249,6 +260,9 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         out = Path(ckpt_dir) / tag
         save_checkpoint(out / "asr", host["asr"])
         save_translator(out / "translator", host["translator"])
+        # Self-describing like a release: eval tools read these dims via
+        # config_for_checkpoint() instead of trusting from_env discovery.
+        (out / "config.json").write_text(cfg.to_json())
         print(f"saved checkpoint -> {out}", flush=True)
 
     t0 = time.perf_counter()
@@ -344,6 +358,21 @@ def main():
                     help="frame-level char-CE bootstrap: full weight "
                          "through N steps, linear decay to 0 by 2N")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--d-model", type=int, default=0,
+                    help="override encoder d_model (scale-ladder rungs, "
+                         "e.g. 256/384/512); 0 keeps the config default")
+    ap.add_argument("--n-layers", type=int, default=0,
+                    help="override encoder n_layers; 0 keeps the default")
+    ap.add_argument("--n-heads", type=int, default=0,
+                    help="override encoder n_heads; 0 keeps the default")
+    ap.add_argument("--conv-kernel", type=int, default=0,
+                    help="override conformer conv kernel; 0 keeps default")
+    ap.add_argument("--aux-ramp-start", type=int, default=0,
+                    help="step at which the speaker/translation/SpecAugment "
+                         "weights start ramping 0->1 (0 disables; combine "
+                         "with --aux-off semantics before the ramp)")
+    ap.add_argument("--aux-ramp-steps", type=int, default=2000,
+                    help="length of the aux-weight ramp")
     ap.add_argument("--aux-off", action="store_true",
                     help="train CTC(+frame-CE) only: zero the speaker/"
                          "translation/SpecAugment weights for the whole "
@@ -353,6 +382,15 @@ def main():
     cfg = tiny_config() if args.tiny else PipelineConfig()
     cfg = cfg.replace(mesh=MeshConfig(data=args.mesh_data,
                                       model=args.mesh_model))
+    enc_over = {k: v for k, v in (("d_model", args.d_model),
+                                  ("n_layers", args.n_layers),
+                                  ("n_heads", args.n_heads),
+                                  ("conv_kernel", args.conv_kernel)) if v}
+    if enc_over:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(encoder=_dc.replace(cfg.encoder, **enc_over))
+        print(f"encoder overrides: {enc_over}", flush=True)
     train_synth(steps=args.steps, batch_size=args.batch_size, cfg=cfg,
                 lr=args.lr, window_seconds=args.window_seconds,
                 ckpt_dir=args.ckpt_dir, eval_every=args.eval_every,
@@ -362,7 +400,9 @@ def main():
                 stage1_steps=args.stage1_steps,
                 stage2_steps=args.stage2_steps,
                 pool_schedule=args.pool_schedule,
-                fce_steps=args.fce_steps, aux_off=args.aux_off)
+                fce_steps=args.fce_steps, aux_off=args.aux_off,
+                aux_ramp_start=args.aux_ramp_start,
+                aux_ramp_steps=args.aux_ramp_steps)
 
 
 if __name__ == "__main__":

@@ -121,8 +121,14 @@ class TestEngineSequenceMode:
             assert seg.end > seg.start
             assert seg.speaker.startswith("Speaker ")
             assert seg.emotion in EMOTIONS
-            assert seg.language and seg.language_code
-            assert seg.languages and seg.languages[0]["code"]
+            # Random-init LID posteriors sit far below the confidence
+            # gate (decode.lid_conf_threshold), so language is omitted —
+            # the schema stays consistent either way.
+            if seg.languages:
+                assert seg.language == seg.languages[0]["name"]
+                assert seg.language_code == seg.languages[0]["code"]
+            else:
+                assert seg.language is None and seg.language_code is None
         # timestamps span beyond one window: no 10 s ceiling
         assert res.segments[-1].end > 10.0
 
