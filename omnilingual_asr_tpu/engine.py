@@ -1083,14 +1083,18 @@ class TranscriptionEngine:
                         np.ones(f1 - f0, np.float32))
                     lab = self._online_speaker(emb, centroids, counts)
                     lid_frames = w["lid_ids"][f0:f1]
-                    langs = self._segment_languages(lid_frames, -1)
+                    langs = self._segment_languages(
+                        lid_frames, w.get("lid_conf")[f0:f1]
+                        if w.get("lid_conf") is not None else None, -1)
+                    primary = (langs[0] if langs
+                               else {"name": None, "code": None})
                     emo_idx = int(np.argmax(
                         w["emotion_logits"][f0:f1].mean(axis=0)[:len(EMOTIONS)]))
                     partial.append(TranscriptSegment(
                         start=round(s.start, 3), end=round(s.end, 3),
                         speaker=f"Speaker {lab + 1}", text=s.text,
-                        language=langs[0]["name"],
-                        language_code=langs[0]["code"], languages=langs,
+                        language=primary["name"],
+                        language_code=primary["code"], languages=langs,
                         emotion=EMOTIONS[emo_idx], translation=None,
                         words=s.words))
             yield ("partial", partial)
