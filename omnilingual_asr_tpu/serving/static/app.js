@@ -483,7 +483,9 @@ function renderTranscript() {
         el.textContent = w.word + " ";
         el.dataset.start = w.start;
         el.dataset.end = w.end;
-        el.onclick = () => seek(w.start);
+        // click a word: play exactly that word, then pause (reference
+        // playWord per-word playback, app.js:1049-1051)
+        el.onclick = () => playSpan(w.start, w.end);
         // word-level text editing (reference word editor)
         el.ondblclick = (e) => {
           e.stopPropagation();
@@ -714,8 +716,28 @@ $("#view-toggle").onclick = () => {
 
 function seek(t) {
   const audio = $("#audio");
+  stopSpanAt = null;
   if (!audio.hidden) { audio.currentTime = t; audio.play(); }
 }
+
+// Bounded playback of one word/segment span: start there, auto-pause at the
+// end (reference playWord :2099 semantics). Any other seek cancels the stop.
+let stopSpanAt = null;
+function playSpan(start, end) {
+  if (!(end > start)) return;
+  const audio = $("#audio");
+  if (audio.hidden) return;
+  audio.currentTime = start;
+  stopSpanAt = end;
+  audio.play();
+}
+$("#audio").addEventListener("timeupdate", () => {
+  const audio = $("#audio");
+  if (stopSpanAt !== null && audio.currentTime >= stopSpanAt) {
+    audio.pause();
+    stopSpanAt = null;
+  }
+});
 
 let loopOn = false;
 

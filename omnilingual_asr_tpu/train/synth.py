@@ -616,7 +616,8 @@ class SynthBatcher:
                  prefetch: int = 4, n_threads: int = 4,
                  frame_multiple: int = 0,
                  snr_range: Tuple[float, float] = (8.0, 40.0),
-                 reuse_pool: int = 0, reuse_p: float = 0.75):
+                 reuse_pool: int = 0, reuse_p: float = 0.75,
+                 speed_range: Optional[Tuple[float, float]] = None):
         import queue
         import threading
 
@@ -637,6 +638,10 @@ class SynthBatcher:
         self.sub = sub
         self.real_fraction = real_fraction
         self.snr_range = snr_range
+        #: sox-style speed perturbation range (e.g. (0.9, 1.1)); None = off.
+        #: Applied per draw in _collate so pooled examples get unique rates
+        #: — multiplies the scarce real windows for generalization.
+        self.speed_range = speed_range
         self.codeswitch_fraction = codeswitch_fraction
         self._lang_id = lang_table.id_for_language
         self.real_train, self.real_eval = real_corpus(
@@ -783,6 +788,10 @@ class SynthBatcher:
 
         frame_dur = fe.hop_length * self.sub / fe.sample_rate
         for b, ex in enumerate(exs):
+            if rng is not None and self.speed_range is not None:
+                f = float(rng.uniform(*self.speed_range))
+                if abs(f - 1.0) > 1e-3:
+                    ex = _speed_perturb(ex, f)
             # consistent audio/text truncation to the window (trim_to_window)
             x, text, translation, spans = trim_to_window(
                 ex, self.window_samples)
@@ -904,6 +913,21 @@ class SynthBatcher:
                 self._q.get_nowait()
         except Exception:
             pass
+
+
+def _speed_perturb(ex: dict, factor: float) -> dict:
+    """Sox-style speed perturbation: resample by ``factor`` (>1 = faster/
+    shorter, pitch shifts with rate, as in the standard Kaldi/sox recipe).
+    Char spans rescale with the timeline so frame LID/char labels stay
+    aligned. Text/labels are unchanged."""
+    x = ex["samples"]
+    new_len = max(1, int(round(len(x) / factor)))
+    pos = np.linspace(0.0, len(x) - 1.0, new_len)
+    y = np.interp(pos, np.arange(len(x)), x).astype(np.float32)
+    spans = ex.get("char_spans")
+    if spans:
+        spans = [(int(s0 / factor), int(s1 / factor)) for (s0, s1) in spans]
+    return dict(ex, samples=y, char_spans=spans)
 
 
 def trim_to_window(ex: "SynthExample | dict", window_samples: int,

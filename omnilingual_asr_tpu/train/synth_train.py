@@ -129,7 +129,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 stage1_steps: int = 0, stage2_steps: int = 0,
                 pool_schedule: Optional[str] = None,
                 fce_steps: int = 0, aux_off: bool = False,
-                aux_ramp_start: int = 0, aux_ramp_steps: int = 2000):
+                aux_ramp_start: int = 0, aux_ramp_steps: int = 2000,
+                speed_perturb: float = 0.0):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -152,7 +153,10 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                            n_threads=2, snr_range=(15.0, 40.0),
                            # single-core host: reuse clean examples with
                            # fresh per-draw noise/gain, amortizing synthesis
-                           reuse_pool=6144, reuse_p=0.8)
+                           reuse_pool=6144, reuse_p=0.8,
+                           speed_range=((1.0 - speed_perturb,
+                                         1.0 + speed_perturb)
+                                        if speed_perturb > 0 else None))
     # Length curriculum (CTC from scratch sits on a "unigram prior" plateau
     # until alignment locks in; short utterances have exponentially fewer
     # alignment paths and break out far sooner — see tools/diag_overfit.py):
@@ -373,6 +377,9 @@ def main():
                          "with --aux-off semantics before the ramp)")
     ap.add_argument("--aux-ramp-steps", type=int, default=2000,
                     help="length of the aux-weight ramp")
+    ap.add_argument("--speed-perturb", type=float, default=0.0,
+                    help="sox-style speed perturbation: rate drawn from "
+                         "(1-P, 1+P) per example; 0 disables")
     ap.add_argument("--aux-off", action="store_true",
                     help="train CTC(+frame-CE) only: zero the speaker/"
                          "translation/SpecAugment weights for the whole "
@@ -402,7 +409,8 @@ def main():
                 pool_schedule=args.pool_schedule,
                 fce_steps=args.fce_steps, aux_off=args.aux_off,
                 aux_ramp_start=args.aux_ramp_start,
-                aux_ramp_steps=args.aux_ramp_steps)
+                aux_ramp_steps=args.aux_ramp_steps,
+                speed_perturb=args.speed_perturb)
 
 
 if __name__ == "__main__":

@@ -30,12 +30,15 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")  # export is a host job
 
-    from omnilingual_asr_tpu.config import PipelineConfig, tiny_config
+    from omnilingual_asr_tpu.config import config_for_checkpoint, tiny_config
     from omnilingual_asr_tpu.models.translation import load_translator
     from omnilingual_asr_tpu.models.zoo import load_checkpoint, save_release
 
-    cfg = tiny_config() if args.tiny else PipelineConfig()
     ckpt = Path(args.ckpt)
+    # Adopt the checkpoint's own config.json dims (written by the trainer
+    # beside the weights) — scale-ladder rungs need not match code defaults.
+    cfg = tiny_config() if args.tiny else config_for_checkpoint(
+        str(ckpt / "asr"))
     out = Path(args.out)
 
     asr = load_checkpoint(ckpt / "asr", cfg)
