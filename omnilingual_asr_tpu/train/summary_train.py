@@ -336,7 +336,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
-    cfg = tiny_config() if args.tiny else PipelineConfig()
+    from ..config import config_for_checkpoint
+
+    # Adopt the checkpoint's own dims (scale-ladder rungs; ADVICE r2)
+    cfg = tiny_config() if args.tiny else config_for_checkpoint(args.ckpt)
     train_summarizer(asr_ckpt=args.ckpt, out_dir=args.out, steps=args.steps,
                      batch_size=args.batch_size, lr=args.lr,
                      pool_size=args.pool_size, n_train=args.n_train,

@@ -130,7 +130,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 pool_schedule: Optional[str] = None,
                 fce_steps: int = 0, aux_off: bool = False,
                 aux_ramp_start: int = 0, aux_ramp_steps: int = 2000,
-                speed_perturb: float = 0.0):
+                speed_perturb: float = 0.0, wire: str = "i16"):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -288,10 +288,16 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
             if curriculum and stage2_steps and i == stage1_steps + stage2_steps:
                 batcher.set_curriculum()  # full-length mix + real windows
                 print(f"curriculum stage 3 at step {i}", flush=True)
+            if wire == "mulaw":
+                from ..audio.codec import mulaw_encode
+
+                enc = mulaw_encode
+            else:
+                def enc(v):
+                    return np.clip(v * 32768.0, -32768,
+                                   32767).astype(np.int16)
             dev_batch = {
-                k: jnp.asarray(
-                    np.clip(v * 32768.0, -32768, 32767).astype(np.int16)
-                    if k == "samples" else v)
+                k: jnp.asarray(enc(v) if k == "samples" else v)
                 for k, v in batch.items()}
             dev_batch.update({k: jnp.float32(v)
                               for k, v in stage_weights(i).items()})
@@ -380,6 +386,9 @@ def main():
     ap.add_argument("--speed-perturb", type=float, default=0.0,
                     help="sox-style speed perturbation: rate drawn from "
                          "(1-P, 1+P) per example; 0 disables")
+    ap.add_argument("--wire", default="i16", choices=["i16", "mulaw"],
+                    help="H2D sample wire format: mulaw halves ingress "
+                         "bytes (~38 dB SNR) — for H2D-bound tunnels")
     ap.add_argument("--aux-off", action="store_true",
                     help="train CTC(+frame-CE) only: zero the speaker/"
                          "translation/SpecAugment weights for the whole "
@@ -410,7 +419,7 @@ def main():
                 fce_steps=args.fce_steps, aux_off=args.aux_off,
                 aux_ramp_start=args.aux_ramp_start,
                 aux_ramp_steps=args.aux_ramp_steps,
-                speed_perturb=args.speed_perturb)
+                speed_perturb=args.speed_perturb, wire=args.wire)
 
 
 if __name__ == "__main__":

@@ -203,3 +203,36 @@ class TestTrainCLIFunction:
         restored = load_checkpoint(ckpt, cfg)
         assert jax.tree.structure(restored) == jax.tree.structure(
             jax.device_get(params))
+
+
+class TestWireFormats:
+    def test_mulaw_wire_matches_f32(self, manifest):
+        """uint8 mu-law samples through the train step produce (near-)
+        identical loss to the f32 wire: the ~38 dB companding floor sits
+        below the training noise augmentation."""
+        from omnilingual_asr_tpu.audio.codec import mulaw_encode
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=2, model=1))
+        mesh = build_mesh(cfg.mesh)
+        init_state, train_step = make_train_step(
+            cfg, mesh, tx=make_optimizer(lr=3e-3, warmup_steps=1),
+            from_samples=True)
+        state = init_state(seed=0)
+        loader = BatchLoader(manifest, cfg, batch_size=2,
+                             window_seconds=1.0, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+        loader.close()
+        b_mu = dict(batch)
+        b_mu["samples"] = jnp.asarray(
+            mulaw_encode(np.asarray(batch["samples"], np.float32)))
+        assert b_mu["samples"].dtype == jnp.uint8
+        # train_step donates params/opt_state; re-init (same seed ->
+        # identical weights) for the second call.
+        _, _, _, m_f32 = train_step(state.params, state.opt_state,
+                                    batch, state.step)
+        state2 = init_state(seed=0)
+        _, _, _, m_mu = train_step(state2.params, state2.opt_state,
+                                   b_mu, state2.step)
+        assert np.isfinite(float(m_mu["loss"]))
+        assert abs(float(m_mu["loss"]) - float(m_f32["loss"])) \
+            < 0.05 * abs(float(m_f32["loss"])) + 0.05
