@@ -114,3 +114,38 @@ def test_engine_discovers_release_decoders(tmp_path, monkeypatch):
     monkeypatch.setenv("OMNIASR_RELEASE_DIR", str(big))
     eng2 = TranscriptionEngine(config=cfg)
     assert eng2._translator is None
+
+
+def test_config_for_checkpoint_bypasses_release(tmp_path, monkeypatch):
+    """--ckpt eval flows must adopt the checkpoint's own config.json dims,
+    never the installed release's (ADVICE r2 medium: run_evals.sh against a
+    non-release-dims checkpoint failed with a template shape mismatch)."""
+    import dataclasses as dc
+
+    from omnilingual_asr_tpu.config import (PipelineConfig,
+                                            config_for_checkpoint,
+                                            tiny_config)
+
+    # an installed release with DIFFERENT dims (d128x2 tiny)
+    rel = tmp_path / "release"
+    rel.mkdir()
+    (rel / "asr.npz").write_bytes(b"notreallyanpz")
+    (rel / "config.json").write_text(tiny_config().to_json())
+    monkeypatch.setenv("OMNIASR_RELEASE_DIR", str(rel))
+
+    # a training checkpoint with its own config.json (d256x4)
+    ck = tmp_path / "run" / "best"
+    (ck / "asr").mkdir(parents=True)
+    rung = tiny_config().replace(encoder=dc.replace(
+        tiny_config().encoder, d_model=256, n_layers=4, n_heads=4))
+    (ck / "config.json").write_text(rung.to_json())
+
+    cfg = config_for_checkpoint(str(ck / "asr"))
+    assert cfg.encoder.d_model == 256 and cfg.encoder.n_layers == 4
+    assert cfg.checkpoint_path == str(ck / "asr")
+
+    # without a config.json beside it: code-default dims, release ignored
+    ck2 = tmp_path / "run2" / "best"
+    (ck2 / "asr").mkdir(parents=True)
+    cfg2 = config_for_checkpoint(str(ck2 / "asr"))
+    assert cfg2.encoder.d_model == PipelineConfig().encoder.d_model
