@@ -305,6 +305,21 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 params, opt_state, dev_batch, step)
             audio_s += float(batch["mask"].sum()) * cfg.frontend.hop_length \
                 / cfg.frontend.sample_rate
+            # The tunnel PJRT client retains host-side transfer buffers
+            # roughly linearly in bytes shipped (observed: 130 GB RSS ->
+            # OOM kill at step ~6350 of a batch-64 i16 run). Deleting the
+            # device arrays promptly + a periodic GC keeps the reachable
+            # set minimal; --wire mulaw halves the leak rate itself.
+            for v in dev_batch.values():
+                if hasattr(v, "delete"):
+                    try:
+                        v.delete()
+                    except Exception:
+                        pass
+            if (i + 1) % 500 == 0:
+                import gc
+
+                gc.collect()
             if (i + 1) % log_every == 0:
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
