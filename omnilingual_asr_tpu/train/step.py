@@ -32,7 +32,12 @@ def make_optimizer(lr: float = 1e-3, weight_decay: float = 1e-6,
         init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
         decay_steps=decay_steps, end_value=lr * 0.05)
     return optax.chain(
+        # A non-finite gradient from one pathological batch must cost one
+        # (skipped) update, not the run. Order matters: a NaN/inf anywhere
+        # makes the global norm non-finite, so the clip turns EVERY leaf
+        # NaN — and zero_nans after it then zeroes the whole update.
         optax.clip_by_global_norm(1.0),
+        optax.zero_nans(),
         optax.adamw(sched, weight_decay=weight_decay),
     )
 
@@ -54,7 +59,13 @@ def aam_softmax_loss(embed: jnp.ndarray, labels: jnp.ndarray,
         jnp.linalg.norm(weight, axis=0, keepdims=True), 1e-8)
     cos = embed @ wn                       # [B, C]
     tgt = jnp.take_along_axis(cos, labels[:, None], axis=1)[:, 0]
-    sin = jnp.sqrt(jnp.clip(1.0 - tgt ** 2, 0.0, 1.0))
+    # Clamp away from ±1 BEFORE the sqrt: d/dx sqrt(1-x²) → ∞ at |x|=1,
+    # and once the embeddings sharpen a single example hitting cos=1.0
+    # sends an inf gradient through clip_by_global_norm → NaN params
+    # (observed: run r3_d256x4b diverged in one step at speaker-loss 6.1,
+    # its sharpest point, after 1850 healthy steps).
+    tgt = jnp.clip(tgt, -1.0 + 1e-4, 1.0 - 1e-4)
+    sin = jnp.sqrt(1.0 - tgt ** 2)
     tgt_m = tgt * jnp.cos(margin) - sin * jnp.sin(margin)
     onehot = jax.nn.one_hot(labels, cos.shape[-1], dtype=cos.dtype)
     logits = scale * (cos + onehot * (tgt_m - tgt)[:, None])

@@ -236,3 +236,38 @@ class TestWireFormats:
         assert np.isfinite(float(m_mu["loss"]))
         assert abs(float(m_mu["loss"]) - float(m_f32["loss"])) \
             < 0.05 * abs(float(m_f32["loss"])) + 0.05
+
+
+class TestNaNRobustness:
+    def test_aam_grad_finite_at_cos_one(self):
+        """ArcFace sqrt edge: when an embedding aligns exactly with its
+        class column (cos=1), the loss gradient must stay finite
+        (r3_d256x4b divergence: inf grad through sqrt(1-cos^2) at the
+        run's sharpest point NaN'd every parameter in one step)."""
+        from omnilingual_asr_tpu.train.step import aam_softmax_loss
+
+        D, C = 8, 16
+        w = np.zeros((D, C), np.float32)
+        w[0, 0] = 1.0
+        w[1, 1:] = 1.0
+        emb = np.zeros((2, D), np.float32)
+        emb[0, 0] = 1.0          # exactly the class-0 column: cos = 1.0
+        emb[1, 0] = -1.0         # anti-aligned: cos = -1.0
+        grad = jax.grad(
+            lambda e: aam_softmax_loss(e, jnp.array([0, 0]), jnp.asarray(w))
+        )(jnp.asarray(emb))
+        assert bool(jnp.isfinite(grad).all()), np.asarray(grad)
+
+    def test_optimizer_skips_nonfinite_update(self):
+        from omnilingual_asr_tpu.train.step import make_optimizer
+
+        tx = make_optimizer(lr=1e-3, warmup_steps=1, decay_steps=10)
+        params = {"w": jnp.ones((4,))}
+        st = tx.init(params)
+        for bad in (jnp.inf, jnp.nan):
+            g = {"w": jnp.array([1.0, bad, 1.0, 1.0])}
+            upd, st = tx.update(g, st, params)
+            import optax
+
+            params = optax.apply_updates(params, upd)
+            assert bool(jnp.isfinite(params["w"]).all()), (bad, params)
