@@ -333,11 +333,15 @@ def _formant_envelope(freqs: np.ndarray, formants, scale: float,
 def synth_utterance(text: str, speaker_id: int, emotion: str = "neutral",
                     seed: int = 0, snr_db: Optional[float] = None,
                     rate: float = 1.0,
-                    word_spans: Optional[list] = None) -> np.ndarray:
+                    word_spans: Optional[list] = None,
+                    english: bool = False) -> np.ndarray:
     """Render text to 16 kHz float32 mono.
 
     word_spans, if passed a list, is filled with (char_index_ranges ->
     (sample_start, sample_end)) per character for frame-level labels.
+    ``english=True`` routes through the phonetically-grounded G2P +
+    phoneme formant path (train/synth_english.py) instead of the
+    per-character cipher units — same span/noise contract.
     """
     rng = np.random.default_rng(seed)
     spk = speaker_profile(speaker_id)
@@ -345,6 +349,20 @@ def synth_utterance(text: str, speaker_id: int, emotion: str = "neutral",
         emotion, _EMOTION_PROSODY["neutral"])
     tilt = 0.7 if emotion == "angry" else 1.0
     rate_total = rate * ratem
+
+    if english:
+        from .synth_english import synth_utterance_en
+
+        x = synth_utterance_en(
+            text, spk, (f0m, ratem, energym, jitter), seed=seed,
+            rate=rate, tilt=tilt, char_spans=word_spans)
+        if snr_db is not None:
+            sig_p = float(np.mean(x ** 2)) + 1e-12
+            noise_p = sig_p / (10.0 ** (snr_db / 10.0))
+            x = x + rng.standard_normal(len(x)).astype(
+                np.float32) * np.sqrt(noise_p)
+        np.clip(x, -1.0, 1.0, out=x)
+        return x.astype(np.float32)
 
     pieces: List[np.ndarray] = []
     n_chars = len(text)
@@ -457,7 +475,7 @@ def make_example(rng: np.random.Generator, *,
         text, speaker_id, emotion, seed=int(rng.integers(2**31)),
         snr_db=None if clean else float(rng.uniform(*snr_range)),
         rate=float(rng.uniform(0.9, 1.15)),
-        word_spans=spans)
+        word_spans=spans, english=lang.is_english)
     return SynthExample(samples=samples, text=text, language=lang.name,
                         code=lang.code, emotion=emotion,
                         speaker_id=speaker_id, translation=translation,

@@ -1,0 +1,299 @@
+"""Decoder-only X->English translator fine-tune over cached encoder states.
+
+The in-run translator (train/step.py:162-173) shares every training step
+with the trunk, so it sees comparatively few gradient steps at full weight
+and converges slowly (round-3 runs hover ~1.5 nats/byte — roughly an
+unconditional English byte LM). This trainer exploits the fact that the
+encoder is frozen at fine-tune time: every utterance is encoded ONCE, the
+[T', D] encoder states are cached on device, and the 4-layer cross-attention
+decoder (models/translation.py) then trains at decoder-only speed — two to
+three orders of magnitude more steps/second than full-trunk training on the
+H2D-bound tunnel, because each step ships only int32 indices.
+
+The synthetic corpus (train/synth.py) makes X->English exactly learnable:
+every non-English language is a bijective word-level cipher of the English
+lexicon (reference behavior being replaced: per-segment `translation` filled
+for non-English audio, reference gemini_pipeline.py:176-179, prompt
+requirement #5 at :208).
+
+    python -m omnilingual_asr_tpu.train.translator_train \
+        --ckpt checkpoints/r3_d256x4c/best --steps 6000 \
+        --out checkpoints/r3_d256x4c/best/translator
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import PipelineConfig, config_for_checkpoint
+from ..models.conformer import asr_forward
+from ..models.translation import (
+    decoder_forward,
+    greedy_translate,
+    load_translator,
+    save_translator,
+    tokens_to_text,
+    translator_init,
+)
+
+MAX_TRANS_BYTES = 128
+WINDOW_SECONDS = 8.0
+
+
+class UtteranceEncoder:
+    """Jitted frozen-encoder forward: padded samples -> encoder states.
+
+    Returns [B, T', D] states and the [B, T'] validity mask (the decoder's
+    cross-attention mask). Same mel path as training (ops/mel_pallas)."""
+
+    def __init__(self, cfg: PipelineConfig, asr_params):
+        from ..ops.mel_pallas import MelFrontend, log_mel_frames_pallas
+
+        self.cfg = cfg
+        fe = cfg.frontend
+        self.window_samples = int(WINDOW_SECONDS * fe.sample_rate)
+        n_frames = fe.frames_for_samples(self.window_samples)
+        sub = cfg.encoder.subsample_factor
+        self.window_frames = ((n_frames + sub - 1) // sub) * sub
+        fe_dev = MelFrontend(cfg.frontend)
+        wf = self.window_frames
+        self.params = jax.device_put(asr_params)
+
+        def fwd(params, samples, n_valid):
+            frames = jax.vmap(
+                lambda x: fe_dev.frames_from_signal(x)[0])(samples)
+            B, T_pad, n_fft = frames.shape
+            mel = log_mel_frames_pallas(
+                frames.reshape(B * T_pad, n_fft), fe_dev.cw, fe_dev.sw,
+                fe_dev.fb, cfg.frontend, interpret=fe_dev.interpret)
+            mel = mel.reshape(B, T_pad, -1)[:, :wf]
+            mask = jnp.arange(wf)[None, :] < n_valid[:, None]
+            out = asr_forward(params, mel, mask, cfg)
+            return (out["encoder_states"].astype(jnp.bfloat16),
+                    out["mask"])
+
+        self._fwd = jax.jit(fwd)
+
+    def encode_batch(self, utts: List[np.ndarray]):
+        fe = self.cfg.frontend
+        B, ws = len(utts), self.window_samples
+        x = np.zeros((B, ws), np.float32)
+        nv = np.zeros(B, np.int32)
+        for i, s in enumerate(utts):
+            s = s[:ws]
+            x[i, :len(s)] = s
+            nv[i] = fe.frames_for_samples(len(s))
+        enc, mask = self._fwd(self.params, jnp.asarray(x), jnp.asarray(nv))
+        return np.asarray(enc), np.asarray(mask)
+
+
+def encode_target(text: str, vocab, max_len: int = MAX_TRANS_BYTES):
+    """BOS(0)+bytes -> bytes+EOS(0), mask incl. the EOS position (the same
+    teacher-forcing layout as SynthBatcher._collate, train/synth.py:865)."""
+    bs = text.encode("utf-8")[: max_len - 1]
+    ids = [vocab.byte_to_id(b) for b in bs]
+    inp = np.zeros(max_len, np.int32)
+    tgt = np.zeros(max_len, np.int32)
+    msk = np.zeros(max_len, bool)
+    inp[1:1 + len(ids)] = ids
+    tgt[:len(ids)] = ids
+    msk[:len(ids) + 1] = True
+    return inp, tgt, msk
+
+
+def word_accuracy(hyp: str, ref: str) -> Tuple[int, int]:
+    h, r = hyp.split(), ref.split()
+    ok = sum(1 for a, b in zip(h, r) if a == b)
+    return ok, max(len(r), 1)
+
+
+def train_translator(*, asr_ckpt: str, out_dir: str,
+                     init_from: Optional[str] = None, steps: int = 6000,
+                     batch_size: int = 64, lr: float = 1e-3,
+                     n_train: int = 6144, n_eval: int = 128, seed: int = 0,
+                     cfg: Optional[PipelineConfig] = None,
+                     log_every: int = 200, metrics_log: Optional[str] = None):
+    from ..models.zoo import load_checkpoint
+    from .synth import LANGUAGES, SAMPLE_RATE, make_example
+
+    non_english = [lg for lg in LANGUAGES if not lg.is_english]
+
+    def make_mixed(rng):
+        """Two-language non-English utterance with a joined English gloss
+        (make_codeswitch_example carries translation=None, so the mixed
+        case is composed here where both halves have targets)."""
+        ia, ib = rng.choice(len(non_english), size=2, replace=False)
+        a = make_example(rng, min_words=1, max_words=5,
+                         languages=[non_english[ia]])
+        b = make_example(rng, min_words=1, max_words=5,
+                         languages=[non_english[ib]])
+        gap = np.zeros(int(0.12 * SAMPLE_RATE), np.float32)
+        a.samples = np.concatenate([a.samples, gap, b.samples])
+        a.translation = f"{a.translation} {b.translation}"
+        return a
+
+    cfg = cfg or config_for_checkpoint(asr_ckpt)
+    asr_params = load_checkpoint(asr_ckpt, cfg)
+    enc = UtteranceEncoder(cfg, asr_params)
+
+    rng = np.random.default_rng(seed)
+    n_total = n_train + n_eval
+    t0 = time.perf_counter()
+    print(f"synthesizing + encoding {n_total} utterances...", flush=True)
+
+    encs, masks, inps, tgts, msks, refs = [], [], [], [], [], []
+    buf: List = []
+
+    def flush_buf():
+        if not buf:
+            return
+        e, m = enc.encode_batch([ex.samples for ex in buf])
+        encs.append(e)
+        masks.append(m)
+        buf.clear()
+
+    made = 0
+    while made < n_total:
+        # 1-in-6 mixed-language draw keeps the decoder honest about the
+        # code-switch segments the engine feeds it at inference time.
+        if rng.random() < 1 / 6:
+            ex = make_mixed(rng)
+        else:
+            ex = make_example(rng, min_words=2, max_words=10)
+        if not ex.translation:      # English utterances carry no target
+            continue
+        inp, tgt, msk = encode_target(ex.translation, cfg.vocab)
+        inps.append(inp)
+        tgts.append(tgt)
+        msks.append(msk)
+        refs.append(ex.translation)
+        buf.append(ex)
+        made += 1
+        if len(buf) == 64:
+            flush_buf()
+            if made % 1024 == 0:
+                print(f"  {made}/{n_total} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    flush_buf()
+
+    d_enc = jax.device_put(jnp.asarray(np.concatenate(encs)))
+    d_mask = jax.device_put(jnp.asarray(np.concatenate(masks)))
+    d_inp = jax.device_put(jnp.asarray(np.stack(inps)))
+    d_tgt = jax.device_put(jnp.asarray(np.stack(tgts)))
+    d_msk = jax.device_put(jnp.asarray(np.stack(msks)))
+    print(f"memory bank: {d_enc.shape} bf16 "
+          f"({d_enc.size * 2 / 1e6:.0f} MB)", flush=True)
+
+    if init_from and Path(init_from).is_dir():
+        params = load_translator(init_from, cfg, n_layers=4)
+        print(f"warm-started decoder from {init_from}", flush=True)
+    else:
+        params = translator_init(jax.random.PRNGKey(seed), cfg, n_layers=4)
+
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.zero_nans(),
+        optax.adamw(optax.warmup_cosine_decay_schedule(
+            0.0, lr, min(200, max(1, steps // 5)), steps, lr * 0.05),
+            weight_decay=1e-6))
+    opt_state = opt.init(params)
+
+    def loss_fn(p, idx):
+        e = d_enc[idx].astype(jnp.float32)
+        logits = decoder_forward(p, d_inp[idx], e, d_mask[idx], cfg)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        pick = jnp.take_along_axis(
+            logp, d_tgt[idx][:, :, None], axis=-1)[:, :, 0]
+        m = d_msk[idx].astype(jnp.float32)
+        return -(pick * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    @jax.jit
+    def step(p, s, idx):
+        loss, g = jax.value_and_grad(loss_fn)(p, idx)
+        upd, s = opt.update(g, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    metrics_path = Path(metrics_log) if metrics_log else None
+    if metrics_path:
+        metrics_path.parent.mkdir(parents=True, exist_ok=True)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        idx = jnp.asarray(rng.integers(0, n_train, batch_size))
+        params, opt_state, loss = step(params, opt_state, idx)
+        if (i + 1) % log_every == 0 or i + 1 == steps:
+            line = {"step": i + 1, "ce": round(float(loss), 4),
+                    "steps_per_s": round((i + 1) /
+                                         (time.perf_counter() - t0), 2)}
+            print(json.dumps(line), flush=True)
+            if metrics_path:
+                with metrics_path.open("a") as f:
+                    f.write(json.dumps(line) + "\n")
+
+    # Held-out greedy-decode word accuracy (the metric eval_heads.py
+    # publishes as translation_word_acc).
+    ev = slice(n_train, n_total)
+    hyp_tokens = np.asarray(greedy_translate(
+        params, d_enc[ev].astype(jnp.float32), d_mask[ev], cfg,
+        max_len=MAX_TRANS_BYTES))
+    ok = words = 0
+    for j in range(n_eval):
+        hyp = tokens_to_text(hyp_tokens[j], cfg.vocab)
+        a, b = word_accuracy(hyp, refs[n_train + j])
+        ok += a
+        words += b
+    acc = ok / max(words, 1)
+    report = {"eval": {"translation_word_acc": round(acc, 4),
+                       "n_eval": n_eval}}
+    print(json.dumps(report), flush=True)
+    if metrics_path:
+        with metrics_path.open("a") as f:
+            f.write(json.dumps(report) + "\n")
+
+    out = Path(out_dir)
+    save_translator(out, jax.device_get(params))
+    print(f"saved translator -> {out}", flush=True)
+    return params, acc
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True,
+                    help="trained ASR checkpoint dir (the asr/ subdir of a "
+                         "training checkpoint, or a dir containing asr/)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--init-from", default=None,
+                    help="existing translator checkpoint to warm-start "
+                         "(e.g. the in-run <ckpt>/translator)")
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--n-train", type=int, default=6144)
+    ap.add_argument("--n-eval", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=200)
+    ap.add_argument("--metrics-log", default=None)
+    args = ap.parse_args()
+
+    ckpt = Path(args.ckpt)
+    if (ckpt / "asr").is_dir():
+        ckpt = ckpt / "asr"
+    train_translator(asr_ckpt=str(ckpt), out_dir=args.out,
+                     init_from=args.init_from, steps=args.steps,
+                     batch_size=args.batch_size, lr=args.lr,
+                     n_train=args.n_train, n_eval=args.n_eval,
+                     seed=args.seed, log_every=args.log_every,
+                     metrics_log=args.metrics_log)
+
+
+if __name__ == "__main__":
+    main()

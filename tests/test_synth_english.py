@@ -1,0 +1,111 @@
+"""Phonetically-grounded English synthesis (train/synth_english.py).
+
+The English branch of the synthetic corpus renders rule-based G2P phonemes
+(formant targets + coarticulated transitions) instead of per-character
+cipher units, so the scarce real English windows (train/synth.py
+real_corpus — reference gettysburg.wav + gettysburg.eaf goldens) share an
+acoustic-phonetic space with unlimited synthetic data. These tests pin the
+G2P/synthesis contracts the trainer depends on."""
+
+import numpy as np
+import pytest
+
+from omnilingual_asr_tpu.train.synth import (
+    ENGLISH_WORDS,
+    make_example,
+    LANGUAGES,
+    synth_utterance,
+)
+from omnilingual_asr_tpu.train.synth_english import (
+    ALL_PHONES,
+    g2p,
+    g2p_word,
+    synth_utterance_en,
+)
+
+EN = [lang for lang in LANGUAGES if lang.is_english]
+
+
+def test_g2p_total_over_lexicon():
+    """Every lexicon word produces >=1 phone and chunks covering every
+    character in order (frame-CE labels need total char coverage)."""
+    for w in ENGLISH_WORDS:
+        chunks = g2p_word(w)
+        phones = [p for ph, _, _ in chunks for p in ph]
+        assert phones, w
+        assert chunks[0][1] == 0 and chunks[-1][2] == len(w), w
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[2] == b[1], (w, a, b)   # contiguous
+        for p in phones:
+            assert p in ALL_PHONES, (w, p)
+
+
+def test_g2p_known_words():
+    cases = {
+        "the": ["DH", "AH"],
+        "night": ["N", "AY", "T"],
+        "nation": ["N", "EY", "SH", "AH", "N"],
+        "make": ["M", "EY", "K"],     # magic-e
+        "city": ["S", "IH", "T", "IY"],   # soft c
+    }
+    for w, want in cases.items():
+        got = [p for ph, _, _ in g2p_word(w) for p in ph]
+        assert got == want, (w, got, want)
+
+
+def test_g2p_deterministic():
+    a = g2p("four score and seven years ago")
+    b = g2p("four score and seven years ago")
+    assert a == b
+
+
+def test_spans_total_monotonic():
+    text = "four score and seven years ago"
+    spans = []
+    x = synth_utterance(text, 5, seed=11, english=True, word_spans=spans)
+    assert len(spans) == len(text)
+    prev_start = 0
+    for s0, s1 in spans:
+        assert 0 <= s0 <= s1 <= len(x)
+        assert s0 >= prev_start
+        prev_start = s0
+
+
+def test_ctc_feasibility_floor():
+    """Words with far fewer phones than letters still emit >=1.2 encoder
+    frames per byte even at the fastest speed perturbation (rate 1.32),
+    keeping CTC alignment feasible (subsample 4, hop 160)."""
+    for w in ("through", "eight", "straight", "knight", "thought"):
+        x = synth_utterance(w, 1, seed=3, rate=1.32, english=True)
+        frames = len(x) / 640.0
+        assert frames / len(w) > 1.2, (w, frames / len(w))
+
+
+def test_english_examples_flow_through_make_example():
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        ex = make_example(rng, languages=EN)
+        assert len(ex.char_spans) == len(ex.text)
+        assert ex.translation is None           # English: no gloss
+        assert len(ex.samples) > 16
+        assert np.isfinite(ex.samples).all()
+        assert np.abs(ex.samples).max() <= 1.0
+
+
+def test_synthesis_deterministic_per_seed():
+    spk_args = dict(seed=7, english=True)
+    a = synth_utterance("liberty and union", 9, **spk_args)
+    b = synth_utterance("liberty and union", 9, **spk_args)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_voiced_vowels_have_harmonic_structure():
+    """A long vowel segment should concentrate energy near the speaker's
+    f0 harmonics (i.e. actually be voiced, not noise)."""
+    x = synth_utterance("aaa", 2, seed=5, english=True)
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    freqs = np.fft.rfftfreq(len(x), 1 / 16000)
+    # voiced energy below 4 kHz should dominate energy above 6 kHz
+    low = spec[(freqs > 100) & (freqs < 4000)].sum()
+    high = spec[freqs > 6000].sum()
+    assert low > 5 * high
