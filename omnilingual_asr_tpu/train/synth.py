@@ -635,7 +635,8 @@ class SynthBatcher:
                  frame_multiple: int = 0,
                  snr_range: Tuple[float, float] = (8.0, 40.0),
                  reuse_pool: int = 0, reuse_p: float = 0.75,
-                 speed_range: Optional[Tuple[float, float]] = None):
+                 speed_range: Optional[Tuple[float, float]] = None,
+                 channel_aug_p: float = 0.0):
         import queue
         import threading
 
@@ -660,6 +661,12 @@ class SynthBatcher:
         #: Applied per draw in _collate so pooled examples get unique rates
         #: — multiplies the scarce real windows for generalization.
         self.speed_range = speed_range
+        #: probability of simulating a room/channel per draw: synthetic
+        #: reverb (exponentially-decaying noise IR) + spectral tilt EQ in
+        #: one FFT round trip. Decorrelates the model from the synthetic
+        #: corpus's perfectly-dry channel so the scarce real windows
+        #: (real_corpus) aren't the only channel variety it ever sees.
+        self.channel_aug_p = channel_aug_p
         self.codeswitch_fraction = codeswitch_fraction
         self._lang_id = lang_table.id_for_language
         self.real_train, self.real_eval = real_corpus(
@@ -820,6 +827,9 @@ class SynthBatcher:
                       char_spans=spans or None, lid_span_langs=span_langs)
             n = min(len(x), self.window_samples)
             row = x[:n]
+            if rng is not None and self.channel_aug_p > 0 \
+                    and rng.random() < self.channel_aug_p:
+                row = _channel_sim(row, rng)
             if rng is not None:
                 # per-draw augmentation: gain + additive noise at a random
                 # SNR (examples may come from the clean reuse pool)
@@ -931,6 +941,33 @@ class SynthBatcher:
                 self._q.get_nowait()
         except Exception:
             pass
+
+
+def _channel_sim(row: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Room/channel simulation in one FFT round trip: convolve with a
+    short exponentially-decaying noise IR (direct path dominant, RT
+    30-150 ms) and apply a random spectral tilt (+-3 dB/oct around 1 kHz).
+    Keeps timing intact (direct path at t=0), so char span labels hold."""
+    n = len(row)
+    if n < 256:
+        return row
+    ir_len = int(rng.uniform(0.03, 0.15) * SAMPLE_RATE)
+    t = np.arange(ir_len, dtype=np.float32)
+    decay = np.exp(-t / (0.25 * ir_len))
+    ir = rng.standard_normal(ir_len).astype(np.float32) * decay
+    ir /= max(float(np.linalg.norm(ir)), 1e-6)     # unit-energy tail
+    ir *= float(rng.uniform(0.1, 0.45))            # wet level
+    ir[0] += 1.0                                   # direct path
+    m = n + ir_len
+    spec = np.fft.rfft(row, m) * np.fft.rfft(ir, m)
+    tilt_oct = float(rng.uniform(-3.0, 3.0))       # dB per octave
+    fr = np.fft.rfftfreq(m, 1.0 / SAMPLE_RATE)
+    eq = 10.0 ** (tilt_oct * np.log2(np.maximum(fr, 60.0) / 1000.0) / 20.0)
+    out = np.fft.irfft(spec * eq, m)[:n].astype(np.float32)
+    peak = float(np.abs(out).max())
+    if peak > 1.0:
+        out /= peak
+    return out
 
 
 def _speed_perturb(ex: dict, factor: float) -> dict:

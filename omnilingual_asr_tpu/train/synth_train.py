@@ -130,7 +130,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 pool_schedule: Optional[str] = None,
                 fce_steps: int = 0, aux_off: bool = False,
                 aux_ramp_start: int = 0, aux_ramp_steps: int = 2000,
-                speed_perturb: float = 0.0, wire: str = "i16"):
+                speed_perturb: float = 0.0, wire: str = "i16",
+                channel_aug: float = 0.0):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -156,7 +157,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                            reuse_pool=6144, reuse_p=0.8,
                            speed_range=((1.0 - speed_perturb,
                                          1.0 + speed_perturb)
-                                        if speed_perturb > 0 else None))
+                                        if speed_perturb > 0 else None),
+                           channel_aug_p=channel_aug)
     # Length curriculum (CTC from scratch sits on a "unigram prior" plateau
     # until alignment locks in; short utterances have exponentially fewer
     # alignment paths and break out far sooner — see tools/diag_overfit.py):
@@ -401,6 +403,10 @@ def main():
     ap.add_argument("--speed-perturb", type=float, default=0.0,
                     help="sox-style speed perturbation: rate drawn from "
                          "(1-P, 1+P) per example; 0 disables")
+    ap.add_argument("--channel-aug", type=float, default=0.0,
+                    help="probability of per-draw room/channel simulation "
+                         "(synthetic reverb + spectral tilt); decorrelates "
+                         "the model from the corpus's dry channel")
     ap.add_argument("--wire", default="i16", choices=["i16", "mulaw"],
                     help="H2D sample wire format: mulaw halves ingress "
                          "bytes (~38 dB SNR) — for H2D-bound tunnels")
@@ -434,7 +440,8 @@ def main():
                 fce_steps=args.fce_steps, aux_off=args.aux_off,
                 aux_ramp_start=args.aux_ramp_start,
                 aux_ramp_steps=args.aux_ramp_steps,
-                speed_perturb=args.speed_perturb, wire=args.wire)
+                speed_perturb=args.speed_perturb, wire=args.wire,
+                channel_aug=args.channel_aug)
 
 
 if __name__ == "__main__":

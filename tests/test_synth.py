@@ -126,6 +126,29 @@ class TestExamples:
             np.testing.assert_array_equal(x.samples, y.samples)
 
 
+class TestChannelSim:
+    def test_shape_timing_and_bound(self):
+        from omnilingual_asr_tpu.train.synth import _channel_sim
+
+        rng = np.random.default_rng(11)
+        ex = make_example(rng, min_words=2, max_words=3)
+        row = ex.samples[: 2 * SAMPLE_RATE].astype(np.float32)
+        out = _channel_sim(row, np.random.default_rng(5))
+        assert out.shape == row.shape and out.dtype == np.float32
+        assert float(np.abs(out).max()) <= 1.0 + 1e-6
+        # direct path dominates: the wet/EQ'd signal stays correlated with
+        # the dry one at zero lag, so char-span timing labels remain valid
+        c = float(np.dot(out, row) /
+                  (np.linalg.norm(out) * np.linalg.norm(row) + 1e-9))
+        assert c > 0.5
+
+    def test_short_rows_passthrough(self):
+        from omnilingual_asr_tpu.train.synth import _channel_sim
+
+        row = np.zeros(100, np.float32)
+        assert _channel_sim(row, np.random.default_rng(0)) is row
+
+
 class TestTrim:
     def test_noop_when_fits(self):
         rng = np.random.default_rng(3)
