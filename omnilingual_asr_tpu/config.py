@@ -141,6 +141,11 @@ class DecodeConfig:
     #                                   omits the language (keeps the ~2040
     #                                   untrained LID classes from asserting
     #                                   confidently wrong languages)
+    ahc_threshold: Optional[float] = None  # speaker AHC merge distance;
+    #                                   None -> engine picks per speaker
+    #                                   embedding mode (crop embeddings
+    #                                   separate much more cleanly than
+    #                                   in-context ones, so the cut differs)
 
 
 @dataclass(frozen=True)

@@ -377,3 +377,57 @@ class TestLidConfidenceGate:
         mixed = np.array([0.01, 0.01, 0.01, 0.9, 0.9], np.float32)
         partial = engine._segment_languages(ids, mixed, -1)
         assert len(partial) == 1
+
+
+class TestSpeakerMode:
+    """speaker_mode="crop" re-embeds each segment in an isolated forward
+    pass before clustering (the encoder's global attention smears speaker
+    identity across a window — measured in tools/diag_diar.py); "inline"
+    pools the main pass's frames."""
+
+    def test_invalid_mode_rejected(self):
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        with pytest.raises(ValueError, match="speaker_mode"):
+            TranscriptionEngine(config=tiny_config(), speaker_mode="bogus")
+
+    def test_crop_mode_clusters_and_labels(self, engine, speech_wav):
+        # module engine uses the default mode
+        assert engine.speaker_mode == "crop"
+        res = engine.transcribe(speech_wav)
+        assert res.segments
+        for s in res.segments:
+            assert s.speaker.startswith("Speaker ")
+        # the crop jit was actually built and used
+        assert getattr(engine, "_spk_crop", None) is not None
+
+    def test_inline_mode_skips_crop_forward(self, speech_wav):
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        eng = TranscriptionEngine(config=tiny_config(),
+                                  batch_windows_per_device=1,
+                                  window_seconds=10.0,
+                                  speaker_mode="inline")
+        res = eng.transcribe(speech_wav)
+        assert res.segments
+        for s in res.segments:
+            assert s.speaker.startswith("Speaker ")
+        assert getattr(eng, "_spk_crop", None) is None
+
+    def test_crop_embeds_shape(self, engine):
+        # unit: per-segment crop embeddings, one row per decoded segment,
+        # including segments longer than the crop window (center-cropped)
+        from omnilingual_asr_tpu.ops.ctc import DecodedSegment
+
+        sr = engine.config.frontend.sample_rate
+        samples = np.random.default_rng(0).standard_normal(
+            12 * sr).astype(np.float32) * 0.1
+        decoded = [
+            DecodedSegment(start=0.2, end=1.9, text="a", words=None,
+                           frame_start=0, frame_end=10),
+            DecodedSegment(start=2.0, end=11.5, text="b", words=None,
+                           frame_start=10, frame_end=20),
+        ]
+        E = engine._segment_crop_embeds(samples, decoded)
+        assert E.shape[0] == 2
+        assert np.isfinite(E).all()
