@@ -65,6 +65,10 @@ WINDOW_SECONDS = 30.0
 # center-cropped (speaker identity saturates in a few seconds of speech).
 SPK_CROP_SECONDS = 6.0
 
+# AHC merge cut for x-vector embeddings (tuned on eval_diar once trained;
+# DecodeConfig.ahc_threshold overrides).
+XVECTOR_AHC_THRESHOLD = 0.30
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -132,26 +136,33 @@ class TranscriptionEngine:
         long_mode: str = "window",
         ingress: Optional[str] = None,
         speaker_mode: Optional[str] = None,
+        xvector_params=None,
+        xvector_path: Optional[str] = None,
     ) -> None:
         if long_mode not in ("window", "sequence"):
             raise ValueError(f"long_mode must be 'window' or 'sequence', "
                              f"got {long_mode!r}")
-        # Speaker embeddings for diarization: "crop" (default) re-embeds each
-        # decoded segment's audio in its OWN forward pass before clustering.
-        # The encoder's global self-attention smears speaker identity across
-        # a window (trained on single-speaker windows, nothing anchors
-        # per-frame identity locally): measured on a 3-speaker synthetic
-        # conversation, in-context same/diff-speaker segment distances are
-        # 0.085/0.055 (inseparable, collapses to 1 cluster) while isolated
-        # re-embeds give 0.027/0.543 and AHC recovers the exact speakers
-        # (tools/diag_diar.py). "inline" pools the main pass's frames —
-        # cheaper (no second forward) but only safe single-speaker.
+        # Speaker embeddings for diarization. Two orthogonal choices:
+        #
+        # 1. The EMBEDDER. The trunk's final-layer speaker branch smears
+        #    identity across a window via global self-attention (measured:
+        #    same/diff-speaker segment distances 0.085/0.055 in a 3-speaker
+        #    conversation — inseparable; tools/diag_diar.py). The dedicated
+        #    x-vector net (models/xvector.py, ~0.5 s receptive field) keeps
+        #    per-frame identity local BY CONSTRUCTION and is used whenever
+        #    its weights load (xvector_path / $OMNIASR_XVECTOR / release
+        #    xvector.npz).
+        # 2. The POOLING strategy (speaker_mode): "inline" pools the main
+        #    pass's frames (free); "crop" re-embeds each decoded segment's
+        #    audio in its OWN forward pass (isolated re-embeds measure
+        #    0.027/0.543 — separable — but cost a second forward); "auto"
+        #    (default) picks "inline" when the x-vector is loaded (local
+        #    receptive field makes inline safe) and "crop" otherwise.
         speaker_mode = speaker_mode or os.getenv(
-            "OMNIASR_SPEAKER_MODE", "crop")
-        if speaker_mode not in ("crop", "inline"):
-            raise ValueError(f"speaker_mode must be 'crop' or 'inline', "
-                             f"got {speaker_mode!r}")
-        self.speaker_mode = speaker_mode
+            "OMNIASR_SPEAKER_MODE", "auto")
+        if speaker_mode not in ("auto", "crop", "inline"):
+            raise ValueError(f"speaker_mode must be 'auto', 'crop' or "
+                             f"'inline', got {speaker_mode!r}")
         if quantize not in (False, True, "a8", "w8"):
             # A typo like "w8a8" would otherwise silently run the plain
             # dequant path and skip the TP guard (ADVICE r2).
@@ -231,6 +242,32 @@ class TranscriptionEngine:
             from .models.summarizer import SummaryDecoder
 
             self._summarizer = SummaryDecoder(cfg, summarizer_params)
+        # Dedicated speaker embedder (see the speaker_mode note above).
+        # Explicit params/path must load (errors propagate); a discovered
+        # release file is best-effort, like the decoders.
+        self._xvector = xvector_params
+        if self._xvector is None:
+            from .models.xvector import load_xvector
+
+            xp = xvector_path or os.getenv("OMNIASR_XVECTOR")
+            if xp:
+                self._xvector = load_xvector(xp, cfg)
+            else:
+                xp = _released("xvector")
+                if xp:
+                    try:
+                        self._xvector = load_xvector(xp, cfg)
+                    except (KeyError, ValueError):
+                        self._xvector = None
+        if self._xvector is not None and cfg.encoder.subsample_factor != 4:
+            raise ValueError(
+                "the x-vector embedder emits frames at 1/4 mel rate; "
+                "encoder.subsample_factor must be 4 to align with it")
+        if speaker_mode == "auto":
+            speaker_mode = ("inline" if self._xvector is not None
+                            else "crop")
+        self.speaker_mode = speaker_mode
+
         if params is None:
             if cfg.checkpoint_path:
                 from .models.zoo import load_checkpoint
@@ -251,11 +288,13 @@ class TranscriptionEngine:
                     "path, set OMNIASR_CHECKPOINT, or install a release "
                     "under checkpoints/release/.", stacklevel=2)
                 params = asr_init(jax.random.PRNGKey(cfg.seed), cfg)
-        # Host copy of the speaker-pooling projection for per-segment
-        # embeddings (models/conformer.py pooled_speaker_embed_np) — taken
-        # before quantization so the tiny host matmul stays fp32.
+        # Host copy of the ACTIVE embedder's pooling projection for
+        # per-segment embeddings (models/conformer.py
+        # pooled_speaker_embed_np) — taken before quantization so the tiny
+        # host matmul stays fp32.
+        _pool_src = (self._xvector if self._xvector is not None else params)
         self._spk_pool = {
-            "spk_proj": jax.tree.map(np.asarray, params["spk_proj"])}
+            "spk_proj": jax.tree.map(np.asarray, _pool_src["spk_proj"])}
         specs = asr_param_specs(cfg)
         if quantize:
             # Int8 serving: quantize=True stores int8 dense weights (half
@@ -279,6 +318,16 @@ class TranscriptionEngine:
         #: lazy, so the layers-module flag is only held while this engine's
         #: program traces/runs — other engines are unaffected).
         self._quant_kernel = quantize if quantize in ("a8", "w8") else None
+        if self._xvector is not None:
+            # Merged AFTER quantization: the 1 M-param embedder stays
+            # full-precision and replicated (sharding it would cost more in
+            # collectives than it saves).
+            from .models.xvector import xvector_param_specs
+
+            params = dict(params)
+            specs = dict(specs)
+            params["xvector"] = self._xvector
+            specs["xvector"] = xvector_param_specs(self._xvector)
         self.params = shard_params(params, specs, self.mesh)
 
         # Window geometry.
@@ -391,12 +440,20 @@ class TranscriptionEngine:
             # features ship as f16 — the host recasts to f32 before any
             # math, so pooling/argmax semantics are unchanged at ~1e-3
             # relative input error. Halves the return payload.
+            spk_frames = out["speaker_frames"]
+            if "xvector" in params:
+                # Local-receptive-field embedder on the SAME mel — frame
+                # speaker identity that cannot smear across turns, at
+                # ~1 M extra params of compute (models/xvector.py).
+                from .models.xvector import xvector_frames
+
+                spk_frames = xvector_frames(params["xvector"], mel, mask)
             ret = {
                 "ctc_ids": ctc_ids.astype(jnp.int16),
                 "lid_ids": lid_ids.astype(jnp.int16),
                 "lid_conf": lid_conf.astype(jnp.float16),
                 "emotion_logits": out["emotion_logits"].astype(jnp.float16),
-                "speaker_frames": out["speaker_frames"].astype(jnp.float16),
+                "speaker_frames": spk_frames.astype(jnp.float16),
                 "frame_energy": e_sub.astype(jnp.float16),
                 "mask": out["mask"],
             }
@@ -588,10 +645,12 @@ class TranscriptionEngine:
                      if "ctc_topk_ids" in out else None)
             energy = np.asarray(out["frame_energy"], dtype=np.float32)
             outs = []
+            spk_src = "xvector" if self._xvector is not None else "trunk"
             for k in range(len(batch)):
                 nf_sub = int(sub_mask[k].sum())
                 outs.append({
                     "offset_s": batch[k][0],
+                    "spk_embedder": spk_src,
                     "ctc_ids": ctc[k, :nf_sub],
                     "lid_ids": lid[k, :nf_sub],
                     "lid_conf": lconf[k, :nf_sub],
@@ -633,6 +692,7 @@ class TranscriptionEngine:
             cfg.encoder, use_flash_attention=False, use_fused_conv=False))
         mesh = (self.mesh if infer_cfg.encoder.moe_dispatch == "alltoall"
                 else None)
+        use_xvector = self._xvector is not None
 
         def spk_fwd(params, samples_i16, n_valid):
             samples = samples_i16.astype(jnp.float32) * (1.0 / 32768.0)
@@ -644,10 +704,18 @@ class TranscriptionEngine:
                 fe_dev.fb, cfg.frontend, interpret=fe_dev.interpret)
             mel = mel.reshape(B, T_pad, -1)[:, :crop_frames]
             mask = jnp.arange(crop_frames)[None, :] < n_valid[:, None]
-            out = asr_forward(params, mel, mask, infer_cfg, mesh=mesh)
-            return {"speaker_frames":
-                    out["speaker_frames"].astype(jnp.float16),
-                    "mask": out["mask"]}
+            if use_xvector:
+                # Active embedder is the x-vector: skip the trunk entirely
+                # (~1 M params vs the full encoder per crop).
+                from .models.conformer import subsampled_mask
+                from .models.xvector import xvector_frames
+
+                fr = xvector_frames(params["xvector"], mel, mask)
+                m = subsampled_mask(mask, cfg.encoder.subsample_factor)
+            else:
+                out = asr_forward(params, mel, mask, infer_cfg, mesh=mesh)
+                fr, m = out["speaker_frames"], out["mask"]
+            return {"speaker_frames": fr.astype(jnp.float16), "mask": m}
 
         self._spk_crop = (jax.jit(spk_fwd), crop_samples, crop_frames)
         return self._spk_crop
@@ -937,20 +1005,34 @@ class TranscriptionEngine:
                 n_clusters = max(1, int(str(speaker_count).strip()))
             except ValueError:
                 n_clusters = None
+        active = "xvector" if self._xvector is not None else "trunk"
+        # Inline pooling is only valid when the window outputs carry the
+        # active embedder's frames (the sequence path emits trunk frames,
+        # so with an x-vector loaded it falls back to crop re-embedding).
+        outs_match = all(w.get("spk_embedder", "trunk") == active
+                         for w in window_outs)
+        want_crop = (self.speaker_mode == "crop"
+                     or (self.speaker_mode == "inline" and not outs_match))
         used_crop = False
-        if (self.speaker_mode == "crop" and samples is not None
-                and len(decoded) > 1):
+        if want_crop and samples is not None and len(decoded) > 1:
             # Re-embed every segment in isolation (see __init__ docnote:
-            # in-context frame embeddings collapse across speakers).
+            # in-context trunk frame embeddings collapse across speakers).
             embeds = self._segment_crop_embeds(samples, decoded)
             used_crop = True
         else:
             embeds = np.stack([m[1] for m in seg_meta])
         th = cfg.decode.ahc_threshold
         if th is None:
-            # Crop embeddings separate far more sharply (same/diff speaker
-            # distances ~0.03/0.54 measured) so the merge cut sits lower.
-            th = 0.22 if used_crop else CLUSTER_DEFAULT_THRESHOLD
+            # Measured operating points per embedder/pooling combination
+            # (tools/diag_diar.py, eval_diar.py): crop-trunk embeddings
+            # separate sharply (~0.03/0.54 same/diff) -> low cut; inline
+            # trunk embeddings barely separate -> conservative default.
+            if active == "xvector":
+                th = XVECTOR_AHC_THRESHOLD
+            elif used_crop:
+                th = 0.22
+            else:
+                th = CLUSTER_DEFAULT_THRESHOLD
         labels = ahc_labels(embeds, n_clusters=n_clusters, threshold=th)
 
         # --- languages + emotions per segment ---

@@ -431,3 +431,21 @@ class TestSpeakerMode:
         E = engine._segment_crop_embeds(samples, decoded)
         assert E.shape[0] == 2
         assert np.isfinite(E).all()
+
+    def test_xvector_auto_resolves_inline(self, speech_wav):
+        # With a dedicated x-vector embedder loaded, "auto" pools inline
+        # (no crop forward needed: the embedder's receptive field is local
+        # by construction) and the embedder's frames ride the main pass.
+        import jax
+
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+        from omnilingual_asr_tpu.models.xvector import xvector_init
+
+        cfg = tiny_config()
+        xv = xvector_init(jax.random.PRNGKey(1), cfg)
+        eng = TranscriptionEngine(config=cfg, batch_windows_per_device=1,
+                                  window_seconds=10.0, xvector_params=xv)
+        assert eng.speaker_mode == "inline"
+        res = eng.transcribe(speech_wav)
+        assert res.segments
+        assert getattr(eng, "_spk_crop", None) is None
