@@ -24,6 +24,9 @@ def main() -> None:
                     help="training checkpoint dir (asr/ + translator/ [...])")
     ap.add_argument("--out", default="checkpoints/release")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--xvector", default=None,
+                    help="xvector.npz to ship (default: "
+                         "checkpoints/xvector/xvector.npz if present)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +55,16 @@ def main() -> None:
         if src.is_dir():
             params = load_translator(src, cfg, n_layers=n_layers)
             save_release(out / f"{name}.npz", params)
+
+    # Speaker embedder: trained separately (train/xvector_train.py saves
+    # release-format xvector.npz directly); copy it in so engines resolve
+    # speaker_mode='auto' to the free inline path.
+    xv = Path(args.xvector) if args.xvector else None
+    if xv is None:
+        cand = Path("checkpoints/xvector/xvector.npz")
+        xv = cand if cand.is_file() else None
+    if xv is not None and xv.is_file():
+        (out / "xvector.npz").write_bytes(xv.read_bytes())
 
     for f in sorted(out.glob("*.npz")):
         print(f"{f}  {f.stat().st_size / 1e6:.1f} MB")

@@ -28,8 +28,14 @@ run synth eval_synth.py --ckpt "$CKPT/asr" --n 96
 HEADS_TR=""
 [ -d "$CKPT/translator" ] && HEADS_TR="--translator $CKPT/translator"
 run heads eval_heads.py --ckpt "$CKPT/asr" $HEADS_TR --n 96
-run diar  eval_diar.py  --ckpt "$CKPT/asr" --n 8
+run diar  eval_diar.py  --ckpt "$CKPT/asr" --n 16
+# Quantized-serving quality deltas vs the bf16 synth numbers above
+# (VERDICT r2 #9): int8 dequant, W8A16 and W8A8 Pallas kernel paths.
+for Q in int8 w8 a8; do
+  run "synth_$Q" eval_synth.py --ckpt "$CKPT/asr" --n 48 --quantize "$Q"
+done
 # eval_long picks the model up via release discovery (OMNIASR_CHECKPOINT
-# env or checkpoints/release); it measures wall/RTF, not quality
-run long  eval_long.py  --hours 1.0
+# env or checkpoints/release); it measures wall/RTF, not quality.
+# The 9.5 h run is the reference's max-file-length envelope (SURVEY §6).
+run long  eval_long.py  --hours 9.5
 echo "reports in $OUT"
