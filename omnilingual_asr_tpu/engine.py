@@ -1299,7 +1299,12 @@ class TranscriptionEngine:
                     emb = pooled_speaker_embed_np(
                         self._spk_pool, w["speaker_frames"][f0:f1],
                         np.ones(f1 - f0, np.float32))
-                    lab = self._online_speaker(emb, centroids, counts)
+                    lab = self._online_speaker(
+                        emb, centroids, counts,
+                        # match the batch path's embedder-aware cut
+                        threshold=(XVECTOR_AHC_THRESHOLD
+                                   if self._xvector is not None
+                                   else CLUSTER_DEFAULT_THRESHOLD))
                     lid_frames = w["lid_ids"][f0:f1]
                     langs = self._segment_languages(
                         lid_frames, w.get("lid_conf")[f0:f1]
