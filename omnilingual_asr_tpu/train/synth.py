@@ -612,6 +612,60 @@ def real_corpus(reference_dir: str | Path = "/root/reference",
     return train, evals
 
 
+def real_recordings(reference_dir: str | Path = "/root/reference",
+                    hold_out_frac: float = 0.25):
+    """Raw word-aligned recordings for RANDOM-crop training draws:
+    [(samples, words, cut_s, language, code)].
+
+    The fixed windows real_corpus cuts give only 2-3 distinct training
+    examples per recording; drawing a fresh random word span per draw
+    multiplies the scarce real data into hundreds of distinct crops
+    (every contiguous word span below the window), which is the cheap
+    lever against memorizing exact window boundaries."""
+    ref = Path(reference_dir)
+    pairs = [
+        (ref / "gettysburg.wav", ref / "gettysburg.eaf", "English", "en"),
+    ]
+    out = []
+    for audio, eaf, name, code in pairs:
+        if not (audio.exists() and eaf.exists()):
+            continue
+        words = parse_eaf_words(eaf)
+        if not words:
+            continue
+        from ..audio.decode import decode_audio
+        from ..audio.resample import resample
+
+        samples, sr = decode_audio(audio)
+        if sr != SAMPLE_RATE:
+            samples = resample(samples, sr, SAMPLE_RATE)
+        cut = words[-1][1] * (1.0 - hold_out_frac)
+        out.append((samples, words, cut, name, code))
+    return out
+
+
+def random_real_window(rec, rng: np.random.Generator,
+                       window_s: float) -> dict:
+    """One random contiguous word span (entirely before the hold-out cut)
+    cropped with jittered padding — exact text from the EAF alignment."""
+    samples, words, cut, name, code = rec
+    starts = [i for i, w in enumerate(words) if w[1] <= cut]
+    i = starts[int(rng.integers(len(starts)))]
+    t0 = words[i][0]
+    j = i
+    while (j + 1 < len(words) and words[j + 1][1] - t0 <= window_s
+           and words[j + 1][1] <= cut):
+        j += 1
+    t1 = words[j][1]
+    pad0 = float(rng.uniform(0.05, 0.25))
+    pad1 = float(rng.uniform(0.05, 0.25))
+    s0 = max(0, int((t0 - pad0) * SAMPLE_RATE))
+    s1 = min(len(samples), int((t1 + pad1) * SAMPLE_RATE))
+    return {"samples": samples[s0:s1].copy(),
+            "text": " ".join(w[2] for w in words[i:j + 1]),
+            "language": name, "code": code, "split": "train"}
+
+
 # ---------------------------------------------------------------------------
 # Fixed-shape batching for the trainer
 # ---------------------------------------------------------------------------
@@ -671,6 +725,10 @@ class SynthBatcher:
         self._lang_id = lang_table.id_for_language
         self.real_train, self.real_eval = real_corpus(
             reference_dir, window_s=window_seconds)
+        # Raw aligned recordings: real draws are fresh random word-span
+        # crops (see random_real_window) rather than the few fixed windows.
+        self._real_recs = real_recordings(reference_dir)
+        self._window_s = window_seconds
         if not self.real_train:
             self.real_fraction = 0.0
         # Reuse pool (single-core hosts): clean synthesized examples are
@@ -746,7 +804,11 @@ class SynthBatcher:
                     "lid_span_langs": getattr(ex, "lid_span_langs", None)}
         r = rng.random()
         if r < self.real_fraction:
-            w = self.real_train[int(rng.integers(len(self.real_train)))]
+            if self._real_recs:
+                rec = self._real_recs[int(rng.integers(len(self._real_recs)))]
+                w = random_real_window(rec, rng, self._window_s)
+            else:
+                w = self.real_train[int(rng.integers(len(self.real_train)))]
             return {"samples": w["samples"], "text": w["text"],
                     "language": w["language"], "emotion": "neutral",
                     "speaker_id": 0 if w["language"] == "English" else 1,
