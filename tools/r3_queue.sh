@@ -42,3 +42,18 @@ python -u -m omnilingual_asr_tpu.train.synth_train \
     --metrics-log checkpoints/r3_d512x12/metrics.jsonl \
     > checkpoints/r3_d512x12/train.log 2>&1
 log "stage 2 done (rc=$?)"
+
+# Stage 3 (unattended fallback): summarizer + release + eval battery on
+# the best available rung. A live session normally intervenes before
+# this with the rung choice; if none does, this keeps the round shipping.
+BEST=""
+for c in checkpoints/r3_d512x12/best checkpoints/r3_d384x8/best \
+         checkpoints/r3_d256x4c/best; do
+  [ -d "$c/asr" ] && BEST="$c" && break
+done
+if [ -n "$BEST" ]; then
+  log "stage 3: finishing on $BEST"
+  bash tools/r3_finish.sh "$BEST"
+else
+  log "stage 3: no rung checkpoint found"
+fi
