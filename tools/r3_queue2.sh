@@ -21,7 +21,9 @@ run_watched() {
   log "watched pid $pid: $*"
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
-    if [ -f "$logfile" ]; then
+    # only engage once the log has CONTENT: the metrics file is created
+    # empty before the (up to ~25 min) XLA tunnel compile
+    if [ -s "$logfile" ]; then
       local age=$(( $(date +%s) - $(stat -c %Y "$logfile") ))
       if [ "$age" -gt "$stale" ]; then
         log "log $logfile stale ${age}s — killing $pid"
@@ -40,7 +42,7 @@ if [ -n "$XV_PID" ]; then
   while kill -0 "$XV_PID" 2>/dev/null; do
     sleep 60
     f=checkpoints/xvector/metrics.jsonl
-    if [ -f "$f" ]; then
+    if [ -s "$f" ]; then
       age=$(( $(date +%s) - $(stat -c %Y "$f") ))
       if [ "$age" -gt 1200 ]; then
         log "xvector log stale ${age}s — killing $XV_PID"
