@@ -41,8 +41,14 @@ from .conformer import N_SPEAKER_CLASSES, SPK_DIM, _unit_columns
 
 # (kernel, stride, dilation, out_channels) per conv layer. Two stride-2
 # layers match the trunk's subsample_factor=4 frame rate; the dilated
-# tail widens the receptive field to ~53 mel frames ~= 0.53 s.
-_LAYERS = ((5, 2, 1, 128), (5, 2, 1, 256), (3, 1, 2, 256), (3, 1, 3, 256))
+# tail widens the receptive field to ~125 mel frames ~= 1.25 s. (The
+# first 0.53 s-RF variant under-separated: in-engine same/diff-speaker
+# distances 0.57/0.84 vs the trunk crop path's 0.03/0.54 — speaker
+# identity in this voice space needs more temporal context than half a
+# second, while staying far below a turn length so identity still
+# cannot smear across speakers.)
+_LAYERS = ((5, 2, 1, 128), (5, 2, 1, 256), (3, 1, 2, 256), (3, 1, 4, 256),
+           (3, 1, 8, 256))
 
 
 def xvector_init(key, cfg: PipelineConfig) -> Dict:

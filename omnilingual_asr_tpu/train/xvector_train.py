@@ -65,7 +65,7 @@ def _to_window(x: np.ndarray, win: int,
 def train_xvector(*, steps: int, batch_size: int, lr: float = 1e-3,
                   window_seconds: float = 4.0, seed: int = 0,
                   warmup_steps: int = 300, channel_p: float = 0.5,
-                  pool_size: int = 2048, reuse_p: float = 0.9,
+                  pool_size: int = 4096, reuse_p: float = 0.85,
                   ckpt_dir: Optional[str] = None, log_every: int = 50,
                   eval_every: int = 500,
                   metrics_log: Optional[str] = None):
@@ -132,7 +132,7 @@ def train_xvector(*, steps: int, batch_size: int, lr: float = 1e-3,
     ev_rows, ev_nv, ev_who = [], [], []
     for si, sid in enumerate(ev_sids):
         for _ in range(4):
-            x = _draw(ev_rng, sid, channel_p=0.5)
+            x = _draw(ev_rng, sid, channel_p=0.25)
             row, n = _to_window(x, win, ev_rng)
             ev_rows.append(row)
             ev_nv.append(min(fe.frames_for_samples(n), wf))

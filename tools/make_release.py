@@ -57,13 +57,13 @@ def main() -> None:
             save_release(out / f"{name}.npz", params)
 
     # Speaker embedder: trained separately (train/xvector_train.py saves
-    # release-format xvector.npz directly); copy it in so engines resolve
-    # speaker_mode='auto' to the free inline path.
-    xv = Path(args.xvector) if args.xvector else None
-    if xv is None:
-        cand = Path("checkpoints/xvector/xvector.npz")
-        xv = cand if cand.is_file() else None
-    if xv is not None and xv.is_file():
+    # release-format xvector.npz directly). EXPLICIT opt-in only: shipping
+    # it flips engines to free inline diarization, so it must first beat
+    # the crop-trunk path on eval_diar (the first 4k-step x-vector measured
+    # DER 0.478 vs crop's 0.1715 — shipping it would have been a quality
+    # regression).
+    if args.xvector:
+        xv = Path(args.xvector)
         (out / "xvector.npz").write_bytes(xv.read_bytes())
 
     for f in sorted(out.glob("*.npz")):
