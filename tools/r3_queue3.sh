@@ -25,11 +25,30 @@ while kill -0 "$PID" 2>/dev/null; do
 done
 log "training done"
 
-BEST=""
-for c in checkpoints/r3_d512x12/best checkpoints/r3_d384x8/best \
-         checkpoints/r3_d256x4c/best; do
-  [ -d "$c/asr" ] && BEST="$c" && break
-done
+# pick the rung whose LAST in-run synth eval WER is lowest (existence
+# alone is not quality: a plateaued rung still writes a 'best' dir)
+BEST=$(python - <<'PY'
+import json, pathlib
+cands = ["checkpoints/r3_d512x12", "checkpoints/r3_d384x8",
+         "checkpoints/r3_d256x4c"]
+best, best_wer = "", 10.0
+for c in cands:
+    p = pathlib.Path(c)
+    if not (p / "best" / "asr").is_dir():
+        continue
+    wer = None
+    for line in (p / "train.log").read_text().splitlines():
+        if '"eval"' in line:
+            try:
+                w = json.loads(line)["eval"]["synth"]["wer"]
+                wer = w if wer is None else min(wer, w)
+            except Exception:
+                pass
+    if wer is not None and wer < best_wer:
+        best, best_wer = str(p / "best"), wer
+print(best)
+PY
+)
 if [ -n "$BEST" ]; then
   log "finishing on $BEST"
   bash tools/r3_finish.sh "$BEST"
