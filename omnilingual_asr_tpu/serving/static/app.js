@@ -1489,8 +1489,18 @@ document.addEventListener("keydown", (e) => {
   } else if (e.key === "/") {
     e.preventDefault();
     searchBox.focus();
+  } else if (e.key === "?") {
+    e.preventDefault();
+    $("#shortcuts-modal").hidden = !$("#shortcuts-modal").hidden;
+  } else if (e.key === "Escape") {
+    $("#shortcuts-modal").hidden = true;
   }
 });
+
+$("#shortcuts-close").onclick = () => { $("#shortcuts-modal").hidden = true; };
+$("#shortcuts-modal").onclick = (e) => {
+  if (e.target.id === "shortcuts-modal") e.target.hidden = true;
+};
 
 window.addEventListener("resize", () => { syncOverlaySize(); redrawViz(); });
 
