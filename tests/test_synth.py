@@ -353,3 +353,43 @@ class TestCharFrameLabels:
         assert "frame_ce" in metrics
         assert float(metrics["frame_ce"]) < first, (
             first, float(metrics["frame_ce"]))
+
+
+class TestRandomRealWindow:
+    """Random word-span crops of the aligned real recording (training draws
+    must diversify beyond the 2-3 fixed real_corpus windows)."""
+
+    def test_crops_are_diverse_and_heldout_safe(self):
+        import numpy as np
+
+        from omnilingual_asr_tpu.train.synth import (
+            SAMPLE_RATE,
+            random_real_window,
+            real_recordings,
+        )
+
+        recs = real_recordings()
+        if not recs:
+            import pytest
+
+            pytest.skip("reference assets absent")
+        samples, words, cut, name, code = recs[0]
+        rng = np.random.default_rng(0)
+        texts = set()
+        for _ in range(40):
+            w = random_real_window(recs[0], rng, 8.0)
+            assert w["text"]
+            assert 0 < len(w["samples"]) <= int(8.6 * SAMPLE_RATE)
+            texts.add(w["text"])
+            # every word of the crop lies before the hold-out cut
+            crop_words = w["text"].split()
+            spans = [t for (t0, t1, t) in words if t in crop_words]
+            assert spans, w["text"]
+        # far more distinct texts than the fixed-window corpus provides
+        assert len(texts) >= 10
+        # hold-out safety: no crop text contains the eval tail's words
+        tail = [t for (t0, t1, t) in words if t1 > cut]
+        for txt in texts:
+            for t in tail:
+                assert f" {t} " not in f" {txt} " or t in (
+                    w2[2] for w2 in words if w2[1] <= cut)
