@@ -200,15 +200,17 @@ def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
     if path.suffix == ".npz":
         from .zoo import load_release
 
-        # jnp leaves, not numpy: the decode scan indexes the embed table
-        # with a traced token id, and numpy fancy-indexing on a tracer
-        # raises TracerArrayConversionError (numpy arrays as jit ARGUMENTS
-        # are fine — arrays captured and indexed inside a trace are not).
-        return jax.tree.map(jnp.asarray, load_release(path, template))
-    import orbax.checkpoint as ocp
+        params = load_release(path, template)
+    else:
+        import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore(path, template)
+    # jnp leaves, not numpy: the decode scan indexes the embed table
+    # with a traced token id, and numpy fancy-indexing on a tracer
+    # raises TracerArrayConversionError (numpy arrays as jit ARGUMENTS
+    # are fine — arrays captured and indexed inside a trace are not).
+    return jax.tree.map(jnp.asarray, params)
 
 
 def tokens_to_text(tokens, vocab) -> str:

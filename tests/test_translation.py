@@ -89,3 +89,38 @@ class TestDecoder:
         st = jax.tree.structure(
             specs, is_leaf=lambda x: not isinstance(x, (dict, list)))
         assert pt == st
+
+
+class TestLoadedParamsDecode:
+    """Decoder params loaded from EITHER checkpoint format must drive the
+    greedy decode scan: numpy leaves raise TracerArrayConversionError when
+    the embed table is indexed by a traced token id (regression: first
+    shipped translator.npz + eval_heads --translator orbax path)."""
+
+    def test_orbax_and_npz_roundtrip_decode(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.models.translation import (
+            greedy_translate,
+            load_translator,
+            save_translator,
+            translator_init,
+        )
+        from omnilingual_asr_tpu.models.zoo import save_release
+
+        cfg = tiny_config()
+        params = translator_init(jax.random.PRNGKey(0), cfg, 2)
+        enc = jnp.zeros((1, 8, cfg.encoder.d_model))
+        mask = jnp.ones((1, 8), bool)
+
+        save_translator(tmp_path / "orbax_ckpt", params)
+        back = load_translator(tmp_path / "orbax_ckpt", cfg, n_layers=2)
+        toks = greedy_translate(back, enc, mask, cfg, max_len=4, n_heads=2)
+        assert toks.shape == (1, 4)
+
+        save_release(tmp_path / "rel.npz", params)
+        back2 = load_translator(tmp_path / "rel.npz", cfg, n_layers=2)
+        toks2 = greedy_translate(back2, enc, mask, cfg, max_len=4, n_heads=2)
+        assert toks2.shape == (1, 4)
