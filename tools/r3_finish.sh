@@ -25,6 +25,22 @@ timeout 5400 python -u -m omnilingual_asr_tpu.train.summary_train \
     --steps "$SUM_STEPS" > "$CKPT/summary_train.log" 2>&1
 log "summarizer rc=$? ($(ls "$CKPT/summarizer" 2>/dev/null | head -1))"
 
+log "stage 1b: translator decoder-only fine-tune (joint training left word
+acc at 0.124 — the bijective cipher should be fully learnable)"
+if [ -d "$CKPT/translator" ]; then
+  timeout 4500 python -u -m omnilingual_asr_tpu.train.translator_train \
+      --ckpt "$CKPT/asr" --init-from "$CKPT/translator" \
+      --out "$CKPT/translator_ft" --steps 6000 \
+      > "$CKPT/translator_ft.log" 2>&1
+  log "translator_ft rc=$?"
+  if [ -d "$CKPT/translator_ft" ] && \
+     [ -n "$(ls -A "$CKPT/translator_ft" 2>/dev/null)" ]; then
+    rm -rf "$CKPT/translator_joint"
+    mv "$CKPT/translator" "$CKPT/translator_joint"
+    mv "$CKPT/translator_ft" "$CKPT/translator"
+  fi
+fi
+
 log "stage 2: export release"
 JAX_PLATFORMS=cpu python tools/make_release.py --ckpt "$CKPT" \
     --out checkpoints/release > /tmp/make_release.log 2>&1
