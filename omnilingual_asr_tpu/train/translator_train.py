@@ -123,9 +123,36 @@ def train_translator(*, asr_ckpt: str, out_dir: str,
                      cfg: Optional[PipelineConfig] = None,
                      log_every: int = 200, metrics_log: Optional[str] = None):
     from ..models.zoo import load_checkpoint
-    from .synth import LANGUAGES, SAMPLE_RATE, make_example
+    from .synth import (ENGLISH_WORDS, LANGUAGES, LEXICON_SIZE, N_SPEAKERS,
+                        SAMPLE_RATE, lexicon, make_example, synth_utterance)
 
     non_english = [lg for lg in LANGUAGES if not lg.is_english]
+
+    def make_uniform(rng):
+        """Uniform-index draw. make_example's zipf-ish indices make the
+        target stream ~70% function words — a decoder scores well by
+        emitting 'the/in/of' without reading the source (measured: CE
+        plateaus ~1.2 while greedy output degenerates to 'the the the').
+        Uniform indices force actual source->target lexicon reading."""
+        lang = non_english[int(rng.integers(len(non_english)))]
+        lex = lexicon(lang)
+        n_words = int(rng.integers(2, 11))
+        idx = rng.integers(0, LEXICON_SIZE, n_words)
+        text = " ".join(lex[i] for i in idx)
+        translation = " ".join(ENGLISH_WORDS[i] for i in idx)
+        samples = synth_utterance(
+            text, int(rng.integers(N_SPEAKERS)), "neutral",
+            seed=int(rng.integers(2 ** 31)),
+            snr_db=float(rng.uniform(8.0, 40.0)),
+            rate=float(rng.uniform(0.9, 1.15)))
+
+        class _Ex:
+            pass
+
+        ex = _Ex()
+        ex.samples = samples
+        ex.translation = translation
+        return ex
 
     def make_mixed(rng):
         """Two-language non-English utterance with a joined English gloss
@@ -163,10 +190,14 @@ def train_translator(*, asr_ckpt: str, out_dir: str,
 
     made = 0
     while made < n_total:
-        # 1-in-6 mixed-language draw keeps the decoder honest about the
-        # code-switch segments the engine feeds it at inference time.
-        if rng.random() < 1 / 6:
+        # Mix: 1/6 mixed-language (code-switch honesty), 1/2 uniform-index
+        # (forces real lexicon reading — see make_uniform), rest zipf-ish
+        # natural draws (matches the engine's segment distribution).
+        r = rng.random()
+        if r < 1 / 6:
             ex = make_mixed(rng)
+        elif r < 1 / 6 + 1 / 2:
+            ex = make_uniform(rng)
         else:
             ex = make_example(rng, min_words=2, max_words=10)
         if not ex.translation:      # English utterances carry no target
