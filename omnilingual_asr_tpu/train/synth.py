@@ -644,6 +644,56 @@ def real_recordings(reference_dir: str | Path = "/root/reference",
     return out
 
 
+_LTAS_GRID = 256
+_LTAS_REAL: "Optional[np.ndarray] | bool" = None
+
+
+def _smoothed_ltas(x: np.ndarray, grid: int = _LTAS_GRID) -> np.ndarray:
+    """Welch-style long-term average power spectrum, resampled to a fixed
+    control grid (64 ms Hann windows)."""
+    win = 1024
+    n = (len(x) // win) * win
+    if n == 0:
+        return np.ones(grid, np.float32)
+    frames = x[:n].reshape(-1, win) * np.hanning(win)
+    p = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+    p = np.maximum(p, float(p.max()) * 1e-8)
+    src = np.linspace(0.0, 1.0, len(p))
+    dst = np.linspace(0.0, 1.0, grid)
+    return np.interp(dst, src, p).astype(np.float32)
+
+
+def real_ltas_match(row: np.ndarray) -> np.ndarray:
+    """EQ a synthetic-English draw toward the real recording's long-term
+    average spectrum (estimated on the TRAIN portion only — the held-out
+    tail contributes nothing). The measured synthetic→real gap is largely
+    acoustic-condition mismatch: matching channel statistics is standard
+    domain adaptation, ±12 dB cap, level-preserving."""
+    global _LTAS_REAL
+    if _LTAS_REAL is None:
+        recs = real_recordings()
+        if not recs:
+            _LTAS_REAL = False
+        else:
+            samples, words, cut, _, _ = recs[0]
+            _LTAS_REAL = _smoothed_ltas(samples[: int(cut * SAMPLE_RATE)])
+    if _LTAS_REAL is False or len(row) < 2048:
+        return row
+    own = _smoothed_ltas(row)
+    ratio = np.sqrt(_LTAS_REAL / np.maximum(own, 1e-12))
+    ratio /= max(float(ratio.mean()), 1e-6)   # preserve overall level
+    ratio = np.clip(ratio, 10 ** (-12 / 20), 10 ** (12 / 20))
+    m = len(row)
+    spec = np.fft.rfft(row, m)
+    eq = np.interp(np.linspace(0.0, 1.0, m // 2 + 1),
+                   np.linspace(0.0, 1.0, len(ratio)), ratio)
+    out = np.fft.irfft(spec * eq, m).astype(np.float32)
+    peak = float(np.abs(out).max())
+    if peak > 1.0:
+        out /= peak
+    return out
+
+
 def random_real_window(rec, rng: np.random.Generator,
                        window_s: float) -> dict:
     """One random contiguous word span (entirely before the hold-out cut)
@@ -690,7 +740,8 @@ class SynthBatcher:
                  snr_range: Tuple[float, float] = (8.0, 40.0),
                  reuse_pool: int = 0, reuse_p: float = 0.75,
                  speed_range: Optional[Tuple[float, float]] = None,
-                 channel_aug_p: float = 0.0):
+                 channel_aug_p: float = 0.0,
+                 real_match_p: float = 0.0):
         import queue
         import threading
 
@@ -721,6 +772,10 @@ class SynthBatcher:
         #: corpus's perfectly-dry channel so the scarce real windows
         #: (real_corpus) aren't the only channel variety it ever sees.
         self.channel_aug_p = channel_aug_p
+        #: probability of EQ-matching an English draw to the real
+        #: recording's long-term average spectrum (real_ltas_match) —
+        #: domain adaptation for the synthetic->real acoustic gap.
+        self.real_match_p = real_match_p
         self.codeswitch_fraction = codeswitch_fraction
         self._lang_id = lang_table.id_for_language
         self.real_train, self.real_eval = real_corpus(
@@ -892,6 +947,10 @@ class SynthBatcher:
             if rng is not None and self.channel_aug_p > 0 \
                     and rng.random() < self.channel_aug_p:
                 row = _channel_sim(row, rng)
+            if (rng is not None and self.real_match_p > 0
+                    and ex.get("language") == "English"
+                    and rng.random() < self.real_match_p):
+                row = real_ltas_match(row)
             if rng is not None:
                 # per-draw augmentation: gain + additive noise at a random
                 # SNR (examples may come from the clean reuse pool)

@@ -131,7 +131,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 fce_steps: int = 0, aux_off: bool = False,
                 aux_ramp_start: int = 0, aux_ramp_steps: int = 2000,
                 speed_perturb: float = 0.0, wire: str = "i16",
-                channel_aug: float = 0.0):
+                channel_aug: float = 0.0, real_match: float = 0.0):
     mesh = build_mesh(cfg.mesh)
     frame_multiple = 0
     if pallas_kernels:
@@ -158,7 +158,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                            speed_range=((1.0 - speed_perturb,
                                          1.0 + speed_perturb)
                                         if speed_perturb > 0 else None),
-                           channel_aug_p=channel_aug)
+                           channel_aug_p=channel_aug,
+                           real_match_p=real_match)
     # Length curriculum (CTC from scratch sits on a "unigram prior" plateau
     # until alignment locks in; short utterances have exponentially fewer
     # alignment paths and break out far sooner — see tools/diag_overfit.py):
@@ -403,6 +404,9 @@ def main():
     ap.add_argument("--speed-perturb", type=float, default=0.0,
                     help="sox-style speed perturbation: rate drawn from "
                          "(1-P, 1+P) per example; 0 disables")
+    ap.add_argument("--real-match", type=float, default=0.0,
+                    help="probability of EQ-matching English draws to the "
+                         "real recording's long-term average spectrum")
     ap.add_argument("--channel-aug", type=float, default=0.0,
                     help="probability of per-draw room/channel simulation "
                          "(synthetic reverb + spectral tilt); decorrelates "
@@ -441,7 +445,7 @@ def main():
                 aux_ramp_start=args.aux_ramp_start,
                 aux_ramp_steps=args.aux_ramp_steps,
                 speed_perturb=args.speed_perturb, wire=args.wire,
-                channel_aug=args.channel_aug)
+                channel_aug=args.channel_aug, real_match=args.real_match)
 
 
 if __name__ == "__main__":
