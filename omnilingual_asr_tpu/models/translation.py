@@ -62,6 +62,13 @@ def translator_init(key, cfg: PipelineConfig, n_layers: int = 4):
     keys = jax.random.split(key, n_layers + 3)
     return {
         "embed": jax.random.normal(keys[0], (v, d), jnp.float32) * 0.02,
+        # Learned target-position table. Without it the decoder's history is
+        # order-blind (the causal mask bounds *which* keys are visible but
+        # not *where* they sit), so it cannot track progress while spelling
+        # — the round-3 fine-tunes degenerated to "the the the" at CE ~1.2.
+        # Zeros init == byte-identical behavior to the old param tree, so
+        # warm-starting a positionless checkpoint is exact.
+        "pos": jnp.zeros((MAX_TARGET_LEN, d), jnp.float32),
         "blocks": [decoder_block_init(keys[1 + i], d) for i in range(n_layers)],
         "ln_out": L.layernorm_init(d),
         "out": L.dense_init(keys[n_layers + 1], d, v),
@@ -71,6 +78,7 @@ def translator_init(key, cfg: PipelineConfig, n_layers: int = 4):
 def translator_specs(n_layers: int = 4):
     return {
         "embed": P(None, "model"),
+        "pos": P(None, "model"),
         "blocks": [decoder_block_spec() for _ in range(n_layers)],
         "ln_out": L.layernorm_spec(),
         "out": L.dense_spec(None, "model"),
@@ -101,6 +109,8 @@ def decoder_forward(params, tokens, enc, enc_mask, cfg: PipelineConfig,
         n_heads = cfg.encoder.n_heads  # keep train == inference head split
     B, Tt = tokens.shape
     x = params["embed"][tokens]  # [B, Tt, D]
+    if "pos" in params:  # absent in pre-round-3 checkpoints (back-compat)
+        x = x + params["pos"][:Tt][None, :, :]
     pos = jnp.arange(Tt)
     causal = pos[None, :, None] >= pos[None, None, :]
     causal = jnp.broadcast_to(causal, (B, Tt, Tt))
@@ -151,6 +161,8 @@ def greedy_translate(params, enc, enc_mask, cfg: PipelineConfig,
     def step(carry, t):
         tok, kc, vc, done = carry
         x = params["embed"][tok][:, None, :]  # [B, 1, D]
+        if "pos" in params:  # keep decode == teacher-forced positions
+            x = x + params["pos"][t][None, None, :]
         for li, blk in enumerate(params["blocks"]):
             h = L.layernorm_apply(blk["ln1"], x)
             qkv = L.dense_apply(blk["self_qkv"], h)
@@ -191,21 +203,42 @@ def save_translator(path, params) -> None:
 
 def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
     """Load decoder weights saved by :func:`save_translator`, validated
-    against the abstract init structure."""
+    against the abstract init structure.
+
+    Checkpoints written before the learned positional table ("pos") lack
+    that leaf; they restore against the positionless template and get a
+    zeros table injected — which reproduces the old forward exactly."""
     from pathlib import Path
 
     template = jax.eval_shape(
         lambda: translator_init(jax.random.PRNGKey(0), cfg, n_layers))
+    pos_zeros = jnp.zeros(template["pos"].shape, template["pos"].dtype)
     path = Path(path).resolve()
     if path.suffix == ".npz":
         from .zoo import load_release
 
-        params = load_release(path, template)
+        import numpy as np
+
+        with np.load(path) as z:
+            has_pos = "['pos']" in z.files  # jax.tree_util.keystr format
+        if not has_pos:
+            old = dict(template)
+            old.pop("pos")
+            params = dict(load_release(path, old))
+            params["pos"] = pos_zeros
+        else:
+            params = load_release(path, template)
     else:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        params = ckptr.restore(path, template)
+        try:
+            params = ckptr.restore(path, template)
+        except Exception:
+            old = dict(template)
+            old.pop("pos")
+            params = dict(ckptr.restore(path, old))
+            params["pos"] = pos_zeros
     # jnp leaves, not numpy: the decode scan indexes the embed table
     # with a traced token id, and numpy fancy-indexing on a tracer
     # raises TracerArrayConversionError (numpy arrays as jit ARGUMENTS

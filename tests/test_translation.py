@@ -124,3 +124,79 @@ class TestLoadedParamsDecode:
         back2 = load_translator(tmp_path / "rel.npz", cfg, n_layers=2)
         toks2 = greedy_translate(back2, enc, mask, cfg, max_len=4, n_heads=2)
         assert toks2.shape == (1, 4)
+
+
+class TestPositionalEncoding:
+    """The decoder must know WHERE each history token sits (round-3 root
+    cause: order-blind history degenerated fine-tunes to 'the the the')."""
+
+    def test_history_order_changes_logits(self, rng):
+        cfg, params = setup()
+        # make positions non-zero (zeros-init keeps back-compat)
+        params = dict(params)
+        params["pos"] = jnp.asarray(
+            rng.standard_normal(params["pos"].shape), jnp.float32) * 0.1
+        B, Te, D = 1, 8, cfg.encoder.d_model
+        enc = jnp.asarray(rng.standard_normal((B, Te, D)), jnp.float32)
+        enc_mask = jnp.ones((B, Te), bool)
+        a, b = 17, 43
+        t1 = jnp.asarray([[0, a, b, 5]], jnp.int32)
+        t2 = jnp.asarray([[0, b, a, 5]], jnp.int32)
+        l1 = decoder_forward(params, t1, enc, enc_mask, cfg, n_heads=2)
+        l2 = decoder_forward(params, t2, enc, enc_mask, cfg, n_heads=2)
+        # last position sees permuted history -> logits must differ
+        assert not np.allclose(np.asarray(l1[0, -1]), np.asarray(l2[0, -1]),
+                               atol=1e-6)
+
+    def test_greedy_applies_same_positions(self, rng):
+        """KV-cache decode must replay teacher-forced logits with a
+        non-zero positional table too."""
+        cfg, params = setup()
+        params = dict(params)
+        params["pos"] = jnp.asarray(
+            rng.standard_normal(params["pos"].shape), jnp.float32) * 0.1
+        B, Te, D = 1, 8, cfg.encoder.d_model
+        enc = jnp.asarray(rng.standard_normal((B, Te, D)), jnp.float32)
+        enc_mask = jnp.ones((B, Te), bool)
+        L = 6
+        toks = np.asarray(greedy_translate(params, enc, enc_mask, cfg,
+                                           max_len=L, n_heads=2))[0]
+        inp = jnp.asarray(np.concatenate([[0], toks[:-1]])[None, :],
+                          jnp.int32)
+        logits = decoder_forward(params, inp, enc, enc_mask, cfg, n_heads=2)
+        replay = np.asarray(
+            jnp.argmax(logits[0, :, : 1 + cfg.vocab.n_bytes], axis=-1))
+        for i in range(L):
+            assert replay[i] == toks[i], (i, replay, toks)
+            if toks[i] == 0:
+                break
+
+    def test_positionless_checkpoint_back_compat(self, tmp_path, rng):
+        """Pre-round-3 checkpoints (no 'pos' leaf) load with an injected
+        zeros table and reproduce the old forward exactly."""
+        from omnilingual_asr_tpu.models.translation import (
+            load_translator,
+            save_translator,
+        )
+        from omnilingual_asr_tpu.models.zoo import save_release
+
+        cfg, params = setup()
+        old = dict(params)
+        old.pop("pos")  # what a pre-pos checkpoint contains
+
+        save_translator(tmp_path / "old_orbax", old)
+        back = load_translator(tmp_path / "old_orbax", cfg, n_layers=2)
+        assert float(jnp.abs(back["pos"]).max()) == 0.0
+
+        save_release(tmp_path / "old.npz", old)
+        back2 = load_translator(tmp_path / "old.npz", cfg, n_layers=2)
+        assert float(jnp.abs(back2["pos"]).max()) == 0.0
+
+        B, Te, D = 1, 8, cfg.encoder.d_model
+        enc = jnp.asarray(rng.standard_normal((B, Te, D)), jnp.float32)
+        enc_mask = jnp.ones((B, Te), bool)
+        toks = jnp.asarray([[0, 17, 43, 5]], jnp.int32)
+        l_old = decoder_forward(old, toks, enc, enc_mask, cfg, n_heads=2)
+        l_new = decoder_forward(back, toks, enc, enc_mask, cfg, n_heads=2)
+        np.testing.assert_allclose(np.asarray(l_old), np.asarray(l_new),
+                                   atol=1e-5)
