@@ -74,6 +74,12 @@ def main():
                          "w8/a8 = Pallas W8A16/W8A8 kernels (TPU only; "
                          "a8 does dynamic per-token activation quant "
                          "in-kernel, no calibration needed)")
+    ap.add_argument("--beam", type=int, default=None,
+                    help="prefix-beam size (default: config, 1 = greedy)")
+    ap.add_argument("--lm-alpha", type=float, default=None,
+                    help="lexicon-LM shallow-fusion weight (ops/lexicon.py)")
+    ap.add_argument("--word-bonus", type=float, default=None,
+                    help="per-word insertion bonus for LM fusion")
     args = ap.parse_args()
 
     from omnilingual_asr_tpu.config import config_for_checkpoint, PipelineConfig, tiny_config
@@ -94,6 +100,18 @@ def main():
         cfg = config_for_checkpoint(args.ckpt)
     else:
         cfg = PipelineConfig.from_env()
+    if (args.beam is not None or args.lm_alpha is not None
+            or args.word_bonus is not None):
+        import dataclasses
+
+        dec = cfg.decode
+        if args.beam is not None:
+            dec = dataclasses.replace(dec, beam_size=args.beam)
+        if args.lm_alpha is not None:
+            dec = dataclasses.replace(dec, lm_alpha=args.lm_alpha)
+        if args.word_bonus is not None:
+            dec = dataclasses.replace(dec, lm_word_bonus=args.word_bonus)
+        cfg = dataclasses.replace(cfg, decode=dec)
     quantize = {"none": False, "int8": True,
                 "w8": "w8", "a8": "a8"}[args.quantize]
     engine = TranscriptionEngine(config=cfg,

