@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--ckpt", default=None, help="trained ASR checkpoint")
     ap.add_argument("--translator", default=None,
                     help="translator checkpoint (enables translation scoring)")
+    ap.add_argument("--summarizer", default=None,
+                    help="summarizer checkpoint (enables free-text summary "
+                         "scoring on composed held-out conversations)")
     ap.add_argument("--n", type=int, default=96)
     ap.add_argument("--out", default="/tmp/omniasr_eval_heads")
     ap.add_argument("--tiny", action="store_true")
@@ -50,7 +53,8 @@ def main():
     engine = TranscriptionEngine(
         config=cfg,
         enable_translation=bool(args.translator),
-        translator_path=args.translator)
+        translator_path=args.translator,
+        summarizer_path=args.summarizer)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -96,6 +100,41 @@ def main():
     }
     if trans_words:
         report["translation_word_acc"] = round(trans_ok / trans_words, 4)
+
+    if args.summarizer:
+        # Free-text summary scoring: the reference's summary names the
+        # speaker count and overall tone (gemini_pipeline.py:126-129, prompt
+        # req #7 :210). Conversations are composed with exact facts
+        # (train/summary_train.py make_conversation); seed 77_000 is
+        # disjoint from every training stream.
+        import numpy as np
+
+        from omnilingual_asr_tpu.train.summary_train import (
+            build_utterance_pool,
+            make_conversation,
+        )
+
+        rng = np.random.default_rng(77_000)
+        pool = build_utterance_pool(rng, 64)
+        n_conv = max(4, args.n // 8)
+        spk_ok = tone_ok = neural_n = 0
+        for i in range(n_conv):
+            samples, facts = make_conversation(rng, pool)
+            p = out_dir / f"conv_{i:04d}.wav"
+            write_wav(p, samples)
+            res = engine.transcribe(p)
+            s = (res.summary or "").lower()
+            neural_n += 1
+            n_spk = facts["n_speakers"]
+            count_words = {1: ("one", "single", "1"), 2: ("two", "2"),
+                           3: ("three", "3"), 4: ("four", "4")}
+            if any(w in s for w in count_words.get(n_spk, (str(n_spk),))):
+                spk_ok += 1
+            if facts["tone"].lower() in s:
+                tone_ok += 1
+        report["summary_speaker_count_acc"] = round(spk_ok / n_conv, 4)
+        report["summary_tone_acc"] = round(tone_ok / n_conv, 4)
+        report["summary_n_conversations"] = n_conv
     if confusions:
         report["top_lid_confusions"] = [
             {"ref": r, "hyp": h, "n": n}

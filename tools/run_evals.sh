@@ -27,6 +27,7 @@ run() {
 run synth eval_synth.py --ckpt "$CKPT/asr" --n 96
 HEADS_TR=""
 [ -d "$CKPT/translator" ] && HEADS_TR="--translator $CKPT/translator"
+[ -d "$CKPT/summarizer" ] && HEADS_TR="$HEADS_TR --summarizer $CKPT/summarizer"
 run heads eval_heads.py --ckpt "$CKPT/asr" $HEADS_TR --n 96
 run diar  eval_diar.py  --ckpt "$CKPT/asr" --n 16
 # Quantized-serving quality deltas vs the bf16 synth numbers above
