@@ -132,10 +132,14 @@ class DecodeConfig:
     """CTC decode + segmentation parameters."""
 
     beam_size: int = 1                # 1 = greedy
-    lm_alpha: float = 0.0             # shallow-fusion weight for the
+    lm_alpha: float = 0.3             # shallow-fusion weight for the
     #                                   lexicon trie LM (ops/lexicon.py);
-    #                                   0 = acoustic-only (applies only when
-    #                                   beam_size > 1)
+    #                                   0 = acoustic-only. Applies only when
+    #                                   beam_size > 1. Default from the
+    #                                   offline sweep (evals/r3/
+    #                                   lm_sweep_offline.jsonl): synth WER
+    #                                   0.058 -> 0.031 at beam 8, flat in
+    #                                   alpha over [0.3, 1.0]
     lm_word_bonus: float = 0.0        # per-word insertion bonus (beta)
     lexicon: Optional[str] = "synth"  # "synth" = training-corpus lexicons
     #                                   (+ bundled real-recording vocab);

@@ -211,10 +211,13 @@ class TestEngineLMBuilder:
         fake = SimpleNamespace(config=SimpleNamespace(decode=decode))
         return TranscriptionEngine._decode_lm(fake)
 
-    def test_off_by_default(self):
+    def test_alpha_zero_disables(self):
+        from dataclasses import replace
+
         from omnilingual_asr_tpu.config import DecodeConfig
 
-        assert self._call(DecodeConfig()) is None
+        assert self._call(replace(DecodeConfig(), lm_alpha=0.0)) is None
+        assert self._call(replace(DecodeConfig(), lexicon=None)) is None
 
     def test_wordlist_path(self, tmp_path):
         from dataclasses import replace
