@@ -234,3 +234,50 @@ class TestEngineLMBuilder:
             total += d
         _, d = lm.finalize(st)
         assert total + d == -np.log(4)
+
+
+class TestEngineBeamText:
+    """_beam_text over engine-shaped top-K arrays (the exact dense
+    reconstruction + byte mapping + LM plumbing the product uses)."""
+
+    def _beam_text(self, topk, f0, f1, alpha):
+        from dataclasses import replace
+        from types import SimpleNamespace
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+        from omnilingual_asr_tpu.ops.lexicon import TrieLM
+
+        cfg = tiny_config()
+        cfg = replace(cfg, decode=replace(cfg.decode, beam_size=8,
+                                          lm_alpha=alpha,
+                                          lm_word_bonus=0.5))
+        fake = SimpleNamespace(config=cfg,
+                               _lexicon_lm=TrieLM([("four", -1.0)]))
+        fake._decode_lm = lambda: TranscriptionEngine._decode_lm(fake)
+        return TranscriptionEngine._beam_text(fake, topk, f0, f1)
+
+    def _topk_for(self, good: str, bad: str, k=4):
+        """Engine-shaped (logp, ids) [T, k]: acoustics slightly prefer
+        the OOV spelling, with blanks interleaved."""
+        gb, bb = byte_ids(good), byte_ids(bad)
+        T = 2 * len(gb)
+        lp = np.full((T, k), -14.0, np.float32)
+        ids = np.zeros((T, k), np.int64)
+        for t in range(T):
+            if t % 2 == 1:
+                lp[t, 0], ids[t, 0] = -0.01, 0        # blank frame
+                ids[t, 1:] = np.arange(1, k)
+                continue
+            i = t // 2
+            ids[t, 0], lp[t, 0] = bb[i], -0.5
+            ids[t, 1], lp[t, 1] = gb[i], -0.9
+            ids[t, 2], lp[t, 2] = 0, -3.0             # blank in top-k
+            ids[t, 3] = 200
+        return lp, ids
+
+    def test_lm_fixes_spelling_through_engine_path(self):
+        topk = self._topk_for("four", "fogr")
+        T = topk[0].shape[0]
+        assert self._beam_text(topk, 0, T, alpha=0.0) == "fogr"
+        assert self._beam_text(topk, 0, T, alpha=0.6) == "four"
