@@ -25,6 +25,9 @@ run() {
 }
 
 run synth eval_synth.py --ckpt "$CKPT/asr" --n 96
+# Accuracy mode: prefix beam + lexicon-LM shallow fusion (ops/lexicon.py;
+# defaults lm_alpha=0.3 from the offline sweep)
+run synth_lm eval_synth.py --ckpt "$CKPT/asr" --n 96 --beam 8
 HEADS_TR=""
 [ -d "$CKPT/translator" ] && HEADS_TR="--translator $CKPT/translator"
 [ -d "$CKPT/summarizer" ] && HEADS_TR="$HEADS_TR --summarizer $CKPT/summarizer"
