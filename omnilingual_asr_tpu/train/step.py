@@ -208,6 +208,41 @@ def batch_specs() -> Dict[str, P]:
     return {k: _BATCH_KEY_SPECS[k] for k in _LEGACY_KEYS}
 
 
+def _mel_from_samples(batch, cfg: PipelineConfig, frontend):
+    """Decode the sample wire format and run the fused log-mel frontend
+    inside the step's jit (shared by the batch and pool train paths)."""
+    samples = batch["samples"]
+    if samples.dtype == jnp.int16:
+        # i16 wire format: half the H2D bytes of f32 (the tunnel/PCIe
+        # transfer bounds steps/s on link-attached hosts), lossless for
+        # 16-bit audio sources — same trick as the serving engine.
+        samples = samples.astype(jnp.float32) * (1.0 / 32768.0)
+    elif samples.dtype == jnp.uint8:
+        # μ-law wire (audio/codec.py): half of i16 again at ~38 dB SNR
+        # — below the training noise augmentation floor, so gradient
+        # quality is unaffected while H2D-bound steps/s nearly double.
+        from ..audio.codec import mulaw_decode
+
+        samples = mulaw_decode(samples)
+    T = batch["mask"].shape[1]
+
+    def frames_one(x):
+        return frontend.frames_from_signal(x)[0]
+
+    from ..ops.mel_pallas import log_mel_frames_pallas
+
+    frames = jax.vmap(frames_one)(samples)
+    B, T_pad, n_fft = frames.shape
+    mel = log_mel_frames_pallas(
+        frames.reshape(B * T_pad, n_fft), frontend.cw, frontend.sw,
+        frontend.fb, cfg.frontend, interpret=frontend.interpret)
+    mel = mel.reshape(B, T_pad, -1)[:, :T]
+    out = dict(batch)
+    out.pop("samples")
+    out["mel"] = mel
+    return out
+
+
 def make_train_step(cfg: PipelineConfig, mesh: Mesh,
                     tx: Optional[optax.GradientTransformation] = None,
                     from_samples: bool = False,
@@ -269,36 +304,7 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
     def _with_mel(batch):
         if not from_samples:
             return batch
-        samples = batch["samples"]
-        if samples.dtype == jnp.int16:
-            # i16 wire format: half the H2D bytes of f32 (the tunnel/PCIe
-            # transfer bounds steps/s on link-attached hosts), lossless for
-            # 16-bit audio sources — same trick as the serving engine.
-            samples = samples.astype(jnp.float32) * (1.0 / 32768.0)
-        elif samples.dtype == jnp.uint8:
-            # μ-law wire (audio/codec.py): half of i16 again at ~38 dB SNR
-            # — below the training noise augmentation floor, so gradient
-            # quality is unaffected while H2D-bound steps/s nearly double.
-            from ..audio.codec import mulaw_decode
-
-            samples = mulaw_decode(samples)
-        T = batch["mask"].shape[1]
-
-        def frames_one(x):
-            return frontend.frames_from_signal(x)[0]
-
-        from ..ops.mel_pallas import log_mel_frames_pallas
-
-        frames = jax.vmap(frames_one)(samples)
-        B, T_pad, n_fft = frames.shape
-        mel = log_mel_frames_pallas(
-            frames.reshape(B * T_pad, n_fft), frontend.cw, frontend.sw,
-            frontend.fb, cfg.frontend, interpret=frontend.interpret)
-        mel = mel.reshape(B, T_pad, -1)[:, :T]
-        out = dict(batch)
-        out.pop("samples")
-        out["mel"] = mel
-        return out
+        return _mel_from_samples(batch, cfg, frontend)
 
     @partial(jax.jit, donate_argnums=(0, 1),
              in_shardings=(param_sh, None, batch_sh, None))

@@ -741,7 +741,8 @@ class SynthBatcher:
                  reuse_pool: int = 0, reuse_p: float = 0.75,
                  speed_range: Optional[Tuple[float, float]] = None,
                  channel_aug_p: float = 0.0,
-                 real_match_p: float = 0.0):
+                 real_match_p: float = 0.0,
+                 bake_mode: bool = False):
         import queue
         import threading
 
@@ -793,6 +794,11 @@ class SynthBatcher:
         self._pool: List[dict] = []
         self._pool_max = reuse_pool
         self._reuse_p = reuse_p if reuse_pool else 0.0
+        #: bake mode (device-resident pool, train/device_pool.py): collate
+        #: applies the EXPENSIVE per-draw augments (speed/channel/LTAS EQ)
+        #: but leaves gain + additive noise to the on-device augmenter, so
+        #: pool entries stay clean for fresh per-step noise realizations.
+        self._bake = bake_mode
         # curriculum knobs (read by producer threads each draw; set via
         # set_curriculum from the training loop at stage boundaries)
         self._cur_min_words: Optional[int] = None
@@ -927,6 +933,7 @@ class SynthBatcher:
         tin = np.zeros((B, self.max_trans_len), np.int32)
         ttgt = np.zeros((B, self.max_trans_len), np.int32)
         tmask = np.zeros((B, self.max_trans_len), bool)
+        nsamp = np.zeros(B, np.int32)
 
         frame_dur = fe.hop_length * self.sub / fe.sample_rate
         for b, ex in enumerate(exs):
@@ -951,7 +958,7 @@ class SynthBatcher:
                     and ex.get("language") == "English"
                     and rng.random() < self.real_match_p):
                 row = real_ltas_match(row)
-            if rng is not None:
+            if rng is not None and not self._bake:
                 # per-draw augmentation: gain + additive noise at a random
                 # SNR (examples may come from the clean reuse pool)
                 row = row * float(rng.uniform(0.7, 1.3))
@@ -961,6 +968,7 @@ class SynthBatcher:
                     np.float32) * np.sqrt(p_sig / 10 ** (snr / 10))
                 np.clip(row, -1.0, 1.0, out=row)
             samples[b, :n] = row
+            nsamp[b] = n
             n_valid = fe.frames_for_samples(n)
             mask[b, :n_valid] = True
             lab, lm = self._encode_text(ex["text"])
@@ -1021,13 +1029,18 @@ class SynthBatcher:
                 ttgt[b, :len(ids)] = ids
                 ttgt[b, len(ids)] = 0  # EOS
                 tmask[b, :len(ids) + 1] = True
-        return {
+        out = {
             "samples": samples, "mask": mask, "labels": labels,
             "label_mask": lmask, "lid_label": lid, "emotion_label": emo,
             "speaker_label": spk, "lid_frame_label": lid_frames,
             "char_frame_label": char_frames,
             "trans_in": tin, "trans_tgt": ttgt, "trans_mask": tmask,
         }
+        if self._bake:
+            # valid-sample counts: the on-device augmenter masks its noise
+            # to the real signal region (host noise stops at n too)
+            out["n_samples"] = nsamp
+        return out
 
     def _producer(self, seed: int):
         rng = np.random.default_rng(seed)

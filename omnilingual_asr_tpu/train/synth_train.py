@@ -131,8 +131,14 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 fce_steps: int = 0, aux_off: bool = False,
                 aux_ramp_start: int = 0, aux_ramp_steps: int = 2000,
                 speed_perturb: float = 0.0, wire: str = "i16",
-                channel_aug: float = 0.0, real_match: float = 0.0):
+                channel_aug: float = 0.0, real_match: float = 0.0,
+                device_pool: int = 0, pool_refresh_every: int = 150):
     mesh = build_mesh(cfg.mesh)
+    use_pool = device_pool > 0
+    if use_pool:
+        # device-resident pool: round up so refresh slices tile the pool
+        device_pool = ((device_pool + batch_size - 1)
+                       // batch_size) * batch_size
     frame_multiple = 0
     if pallas_kernels:
         # train through the Pallas flash-attention + fused-conv kernels
@@ -159,7 +165,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                                          1.0 + speed_perturb)
                                         if speed_perturb > 0 else None),
                            channel_aug_p=channel_aug,
-                           real_match_p=real_match)
+                           real_match_p=real_match,
+                           bake_mode=use_pool)
     # Length curriculum (CTC from scratch sits on a "unigram prior" plateau
     # until alignment locks in; short utterances have exponentially fewer
     # alignment paths and break out far sooner — see tools/diag_overfit.py):
@@ -225,20 +232,45 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0,
                 "w_fce": w_fce, "w_ctc": w_ctc}
 
-    sample = next(iter(batcher))
-    init_state, train_step = make_train_step(
-        cfg, mesh, tx=make_optimizer(lr=lr, warmup_steps=warmup_steps,
-                                     # cosine completes at the run's end
-                                     decay_steps=max(steps, warmup_steps + 1)),
-        from_samples=True,
-        batch_keys=tuple(sample.keys()) + ("w_spk", "w_trans", "w_aug",
-                                           "w_fce", "w_ctc"),
-        with_translator=True,
-        # milder than the ASR default: synthetic units are short (one char
-        # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
-        # words of supervision
-        augment=SpecAugmentConfig(n_freq_masks=1, freq_mask_width=16,
-                                  n_time_masks=1, time_mask_width=24))
+    tx = make_optimizer(lr=lr, warmup_steps=warmup_steps,
+                        # cosine completes at the run's end
+                        decay_steps=max(steps, warmup_steps + 1))
+    # milder than the ASR default: synthetic units are short (one char
+    # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
+    # words of supervision
+    aug_cfg = SpecAugmentConfig(n_freq_masks=1, freq_mask_width=16,
+                                n_time_masks=1, time_mask_width=24)
+    if use_pool:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .device_pool import (build_pool, encode_wire,
+                                  make_pool_train_step)
+
+        init_state, pool_step, refresh_pool = make_pool_train_step(
+            cfg, mesh, tx=tx, augment=aug_cfg, with_translator=True,
+            snr_range=(15.0, 40.0))
+        print(f"building device pool: {device_pool} entries "
+              f"({wire} wire)...", flush=True)
+        refresh_iter = iter(batcher)
+        pool_np = build_pool(refresh_iter, device_pool, wire=wire)
+        pool_nframes = pool_np["mask"].sum(axis=1).astype(np.float64)
+        repl = NamedSharding(mesh, PartitionSpec())
+        pool = {k: jax.device_put(v, repl) for k, v in pool_np.items()}
+        pool_mb = sum(v.nbytes for v in pool_np.values()) / 1e6
+        print(f"device pool resident: {pool_mb:.0f} MB; per-step H2D is "
+              f"now {4 * batch_size} B of indices", flush=True)
+        del pool_np
+        pool_cursor = 0
+        idx_rng = np.random.default_rng(seed + 104729)
+    else:
+        sample = next(iter(batcher))
+        init_state, train_step = make_train_step(
+            cfg, mesh, tx=tx,
+            from_samples=True,
+            batch_keys=tuple(sample.keys()) + ("w_spk", "w_trans", "w_aug",
+                                               "w_fce", "w_ctc"),
+            with_translator=True,
+            augment=aug_cfg)
     state = init_state(seed=seed)
     params, opt_state, step = state.params, state.opt_state, state.step
     if resume_from:
@@ -275,9 +307,9 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
     t0 = time.perf_counter()
     audio_s = 0.0
     try:
-        for i, batch in enumerate(batcher):
-            if i >= steps:
-                break
+        batch_iter = None if use_pool else iter(batcher)
+        for i in range(steps):
+            batch = None if use_pool else next(batch_iter)
             if pool_boundaries and i == pool_boundaries[0]:
                 pool_boundaries.pop(0)
                 nxt = pool_stages[len(pool_stages) - len(pool_boundaries) - 1]
@@ -291,34 +323,56 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
             if curriculum and stage2_steps and i == stage1_steps + stage2_steps:
                 batcher.set_curriculum()  # full-length mix + real windows
                 print(f"curriculum stage 3 at step {i}", flush=True)
-            if wire == "mulaw":
-                from ..audio.codec import mulaw_encode
-
-                enc = mulaw_encode
+            scalars = {k: jnp.float32(v) for k, v in stage_weights(i).items()}
+            if use_pool:
+                idx = idx_rng.integers(0, device_pool, batch_size)
+                params, opt_state, step, metrics = pool_step(
+                    params, opt_state, pool, jnp.asarray(idx, jnp.int32),
+                    step, scalars)
+                audio_s += float(pool_nframes[idx].sum()) \
+                    * cfg.frontend.hop_length / cfg.frontend.sample_rate
+                if pool_refresh_every and (i + 1) % pool_refresh_every == 0:
+                    # rotate one freshly baked batch into the pool (donated
+                    # dynamic_update_slice: ~B/P of the pool churns per
+                    # refresh, full churn every P/B * refresh_every steps)
+                    nb = next(refresh_iter)
+                    new = {k: (encode_wire(v, wire) if k == "samples" else v)
+                           for k, v in nb.items()}
+                    pool = refresh_pool(pool, jnp.int32(pool_cursor),
+                                        {k: jax.device_put(v, repl)
+                                         for k, v in new.items()})
+                    pool_nframes[pool_cursor:pool_cursor + batch_size] = \
+                        nb["mask"].sum(axis=1)
+                    pool_cursor = (pool_cursor + batch_size) % device_pool
             else:
-                def enc(v):
-                    return np.clip(v * 32768.0, -32768,
-                                   32767).astype(np.int16)
-            dev_batch = {
-                k: jnp.asarray(enc(v) if k == "samples" else v)
-                for k, v in batch.items()}
-            dev_batch.update({k: jnp.float32(v)
-                              for k, v in stage_weights(i).items()})
-            params, opt_state, step, metrics = train_step(
-                params, opt_state, dev_batch, step)
-            audio_s += float(batch["mask"].sum()) * cfg.frontend.hop_length \
-                / cfg.frontend.sample_rate
-            # The tunnel PJRT client retains host-side transfer buffers
-            # roughly linearly in bytes shipped (observed: 130 GB RSS ->
-            # OOM kill at step ~6350 of a batch-64 i16 run). Deleting the
-            # device arrays promptly + a periodic GC keeps the reachable
-            # set minimal; --wire mulaw halves the leak rate itself.
-            for v in dev_batch.values():
-                if hasattr(v, "delete"):
-                    try:
-                        v.delete()
-                    except Exception:
-                        pass
+                if wire == "mulaw":
+                    from ..audio.codec import mulaw_encode
+
+                    enc = mulaw_encode
+                else:
+                    def enc(v):
+                        return np.clip(v * 32768.0, -32768,
+                                       32767).astype(np.int16)
+                dev_batch = {
+                    k: jnp.asarray(enc(v) if k == "samples" else v)
+                    for k, v in batch.items()}
+                dev_batch.update(scalars)
+                params, opt_state, step, metrics = train_step(
+                    params, opt_state, dev_batch, step)
+                audio_s += float(batch["mask"].sum()) \
+                    * cfg.frontend.hop_length / cfg.frontend.sample_rate
+                # The tunnel PJRT client retains host-side transfer buffers
+                # roughly linearly in bytes shipped (observed: 130 GB RSS ->
+                # OOM kill at step ~6350 of a batch-64 i16 run). Deleting
+                # the device arrays promptly + a periodic GC keeps the
+                # reachable set minimal; --wire mulaw halves the leak rate;
+                # --device-pool removes the per-step transfer entirely.
+                for v in dev_batch.values():
+                    if hasattr(v, "delete"):
+                        try:
+                            v.delete()
+                        except Exception:
+                            pass
             if (i + 1) % 500 == 0:
                 import gc
 
@@ -414,6 +468,14 @@ def main():
     ap.add_argument("--wire", default="i16", choices=["i16", "mulaw"],
                     help="H2D sample wire format: mulaw halves ingress "
                          "bytes (~38 dB SNR) — for H2D-bound tunnels")
+    ap.add_argument("--device-pool", type=int, default=0,
+                    help="device-resident example pool size (entries); "
+                         "per-step H2D drops to a [B] index vector and "
+                         "gain/noise augmentation runs on-device "
+                         "(train/device_pool.py). 0 = off")
+    ap.add_argument("--pool-refresh-every", type=int, default=150,
+                    help="bake + rotate one fresh batch into the device "
+                         "pool every N steps (0 = static pool)")
     ap.add_argument("--aux-off", action="store_true",
                     help="train CTC(+frame-CE) only: zero the speaker/"
                          "translation/SpecAugment weights for the whole "
@@ -445,7 +507,9 @@ def main():
                 aux_ramp_start=args.aux_ramp_start,
                 aux_ramp_steps=args.aux_ramp_steps,
                 speed_perturb=args.speed_perturb, wire=args.wire,
-                channel_aug=args.channel_aug, real_match=args.real_match)
+                channel_aug=args.channel_aug, real_match=args.real_match,
+                device_pool=args.device_pool,
+                pool_refresh_every=args.pool_refresh_every)
 
 
 if __name__ == "__main__":
