@@ -242,7 +242,7 @@ function resetViewer() {
   decodedAudio = null;
   view = { start: 0, dur: 0 };
   selection = null;
-  specCache.clear();
+  specRegion = null;
   $("#snippet-btn").hidden = true;
 }
 
@@ -459,12 +459,19 @@ function renderTranscript() {
 
     const head = document.createElement("div");
     head.className = "seg-head";
+    // speaker badge carries a colorblind-safe per-speaker dot (CSS
+    // ::before on currentColor); emotion gets a per-class tint
+    // (reference speaker-badge / emotion-indicator styling)
     head.innerHTML =
-      `<span class="time">${fmtTime(seg.start)}–${fmtTime(seg.end)}</span>` +
       `<span class="speaker">${seg.speaker}</span>` +
-      (seg.language_code ? `<span class="tag">${seg.language_code}</span>` : "") +
+      (seg.language_code
+        ? `<span class="tag lang">${seg.language_code}</span>` : "") +
       (seg.emotion && seg.emotion !== "neutral"
-        ? `<span class="tag emo">${seg.emotion}</span>` : "");
+        ? `<span class="tag emo emo-${seg.emotion}">${seg.emotion}</span>`
+        : "") +
+      `<span class="time">${fmtTime(seg.start)}–${fmtTime(seg.end)}</span>`;
+    head.querySelector(".speaker").style.color =
+      colorFor(seg.speaker, spkColors);
     head.querySelector(".time").onclick = (e) => {
       if (e.altKey) editTimestamps(si); else seek(seg.start);
     };
@@ -491,6 +498,12 @@ function renderTranscript() {
           e.stopPropagation();
           editWord(si, wi, el);
         };
+        // per-word playback/edit context menu
+        el.oncontextmenu = (e) => {
+          e.preventDefault();
+          e.stopPropagation();
+          openWordCtxMenu(e, si, wi, el);
+        };
         body.appendChild(el);
         wordEls.push(el);
       });
@@ -503,7 +516,7 @@ function renderTranscript() {
     if (showTr && seg.translation && seg.translation !== "null") {
       const tr = document.createElement("div");
       tr.className = "translation";
-      tr.textContent = `→ ${seg.translation}`;
+      tr.textContent = seg.translation;  // "Translation:" label via CSS
       div.appendChild(tr);
     }
     root.appendChild(div);
@@ -655,7 +668,54 @@ function openCtxMenu(e, si) {
   menu.style.top = `${e.pageY}px`;
 }
 
-document.addEventListener("click", () => { $("#ctx-menu").hidden = true; });
+document.addEventListener("click", () => {
+  $("#ctx-menu").hidden = true;
+  $("#word-ctx-menu").hidden = true;
+});
+
+// per-word context menu: play / loop / edit / delete (reference per-word
+// playback + inline editor interactions, app.js:1049-1055, :2099)
+let ctxWord = null;  // {si, wi, el}
+
+function openWordCtxMenu(e, si, wi, el) {
+  ctxWord = { si, wi, el };
+  const menu = $("#word-ctx-menu");
+  menu.hidden = false;
+  menu.style.left = `${e.pageX}px`;
+  menu.style.top = `${e.pageY}px`;
+}
+
+document.querySelectorAll("#word-ctx-menu button").forEach((btn) => {
+  btn.onclick = async () => {
+    $("#word-ctx-menu").hidden = true;
+    if (ctxWord === null) return;
+    const { si, wi, el } = ctxWord;
+    ctxWord = null;
+    const seg = activeData.segments[si];
+    const w = seg?.words?.[wi];
+    if (!w) return;
+    const act = btn.dataset.act;
+    if (act === "play") {
+      playSpan(w.start, w.end);
+    } else if (act === "loop") {
+      // bounded loop over just this word (selection + loop toggle)
+      selection = { start: w.start, end: w.end };
+      loopOn = true;
+      $("#loop-toggle").classList.toggle("on", true);
+      drawOverlay();
+      playSpan(w.start, w.end);
+      stopSpanAt = null;  // the loop owns the span; no one-shot stop
+    } else if (act === "edit") {
+      editWord(si, wi, el);
+    } else if (act === "delete") {
+      pushUndo();
+      seg.words.splice(wi, 1);
+      seg.text = seg.words.map((x) => x.word).join(" ");
+      await saveSegments();
+      renderTranscript();
+    }
+  };
+});
 document.querySelectorAll("#ctx-menu button").forEach((btn) => {
   btn.onclick = async () => {
     $("#ctx-menu").hidden = true;
@@ -790,6 +850,12 @@ setInterval(() => {
     const on = t >= +el.dataset.start && t < +el.dataset.end;
     el.classList.toggle("playing", on);
   }
+  // active-segment emphasis during playback (reference .segment.selected)
+  const segs = activeData?.segments || [];
+  segEls.forEach((el, i) => {
+    const s = segs[i];
+    el.classList.toggle("active", Boolean(s) && t >= s.start && t < s.end);
+  });
 }, 80);
 
 // ------------------------------------------------------------ audio decode
@@ -901,11 +967,15 @@ async function drawWaveform() {
 
 // ------------------------------------------------------------- spectrogram
 // Praat-style display: pre-emphasis 6 dB/oct, Hann window, mel-scale
-// frequency axis, auto max-frequency detection, 70 dB dynamic range,
-// viewport render cache for views <= 5 s (reference app.js:2828-2934).
+// frequency axis, auto max-frequency detection, 70 dB dynamic range.
+// Layered viewport cache (reference app.js:2888-3139): the spectrogram +
+// formant + intensity layers are rendered ONCE into an offscreen canvas
+// covering the visible window plus a buffer on each side; pans and zooms
+// inside the cached region are a single drawImage blit, and the region is
+// recomputed only when the view scrolls/zooms out of it.
 
-const specCache = new Map();  // key -> ImageData
-const SPEC_CACHE_MAX = 8;
+let specRegion = null;  // {canvas, url, t0, t1, colsPerSec, H, maxHz}
+const maxFreqCache = new Map();  // audio_url -> detected max frequency (Hz)
 
 function hzToMel(f) { return 2595 * Math.log10(1 + f / 700); }
 function melToHz(m) { return 700 * (Math.pow(10, m / 2595) - 1); }
@@ -973,38 +1043,22 @@ function autoMaxFreq(data, sr) {
   return sr / 2;
 }
 
-async function drawSpectrogram() {
-  const canvas = $("#spectrogram");
-  const ctx = canvas.getContext("2d");
-  canvas.width = canvas.clientWidth * devicePixelRatio;
-  const dec = await ensureDecoded();
-  if (!dec) return;
-  clampView();
-  const { data, sr } = dec;
-  const W = canvas.width, H = canvas.height;
-
-  const key = `${activeData.audio_url}|${view.start.toFixed(3)}|` +
-    `${view.dur.toFixed(3)}|${W}x${H}`;
-  if (view.dur <= 5 && specCache.has(key)) {
-    ctx.putImageData(specCache.get(key), 0, 0);
-    return;
-  }
-
-  const maxHz = autoMaxFreq(data, sr);
+// Render one cached region [t0, t1] at colsPerSec columns/second into an
+// offscreen canvas: spectrogram image + formant dots + intensity curve,
+// all time-aligned so a blit of any sub-range stays coordinate-exact.
+function buildSpecRegion(data, sr, url, t0, t1, colsPerSec, H, maxHz) {
   const melMax = hzToMel(maxHz);
   const NFFT = 1024;
-  const s0 = Math.floor(view.start * sr);
-  const span = Math.floor(view.dur * sr);
-  const hop = Math.max(Math.floor(sr * 0.005), Math.floor(span / W));
+  const hop = Math.max(1, Math.round(sr / colsPerSec));
+  const cols = Math.max(1, Math.round((t1 - t0) * sr / hop));
+  const s0 = Math.floor(t0 * sr);
+  const offc = document.createElement("canvas");
+  offc.width = cols; offc.height = H;
+  const ctx = offc.getContext("2d");
   const win = new Float32Array(NFFT);
   for (let i = 0; i < NFFT; i++) {
     win[i] = 0.5 - 0.5 * Math.cos(2 * Math.PI * i / NFFT);
   }
-  // Deep zoom clamps hop to 5 ms, so there can be fewer FFT columns than
-  // canvas pixels; render at `cols` and stretch to W so the time axis
-  // always matches the overlay/timeToX coordinates.
-  const cols = Math.max(1, Math.min(W, Math.floor(span / hop)));
-  const colW = W / cols;
   const img = ctx.createImageData(cols, H);
   const DYN = 70; // dB dynamic range (Praat default)
   // mel row -> FFT bin lookup
@@ -1038,15 +1092,7 @@ async function drawSpectrogram() {
       img.data[idx + 3] = 255;
     }
   }
-  if (cols === W) {
-    ctx.putImageData(img, 0, 0);
-  } else {
-    const tmp = document.createElement("canvas");
-    tmp.width = cols; tmp.height = H;
-    tmp.getContext("2d").putImageData(img, 0, 0);
-    ctx.imageSmoothingEnabled = false;
-    ctx.drawImage(tmp, 0, 0, cols, H, 0, 0, W, H);
-  }
+  ctx.putImageData(img, 0, 0);
 
   // Formant overlay (F1-F3): smoothed-spectrum peak picking per column
   // in 200-4000 Hz, Okabe-Ito colors, drawn on the mel axis.
@@ -1083,7 +1129,7 @@ async function drawSpectrogram() {
       const hz = bin * binHz;
       const y = Math.round((1 - hzToMel(hz) / melMax) * H);
       ctx.fillStyle = F_COLORS[fi];
-      ctx.fillRect(Math.round(x * colW), y, 2, 2);
+      ctx.fillRect(x, y, 2, 2);
     });
   }
 
@@ -1095,12 +1141,57 @@ async function drawSpectrogram() {
   for (let x = 0; x < cols; x++) {
     const v = Math.min(1, Math.max(0, (colDb[x] + DYN) / DYN));
     const y = H - 4 - v * (H - 8);
-    const xp = x * colW;
-    if (started) ctx.lineTo(xp, y); else { ctx.moveTo(xp, y); started = true; }
+    if (started) ctx.lineTo(x, y); else { ctx.moveTo(x, y); started = true; }
   }
   ctx.stroke();
 
-  // mel-frequency axis labels
+  return { canvas: offc, url, t0, t1: t0 + cols * hop / sr,
+           colsPerSec: sr / hop, H, maxHz };
+}
+
+async function drawSpectrogram() {
+  const canvas = $("#spectrogram");
+  const ctx = canvas.getContext("2d");
+  canvas.width = canvas.clientWidth * devicePixelRatio;
+  const dec = await ensureDecoded();
+  if (!dec) return;
+  clampView();
+  const { data, sr } = dec;
+  const W = canvas.width, H = canvas.height;
+  const url = activeData.audio_url;
+  if (!maxFreqCache.has(url)) maxFreqCache.set(url, autoMaxFreq(data, sr));
+  const maxHz = maxFreqCache.get(url);
+
+  // Needed render density (columns/second); hop floor 5 ms as before.
+  const needed = Math.min(200, W / view.dur);
+  const r = specRegion;
+  const inside = r && r.url === url && r.H === H && r.maxHz === maxHz &&
+    view.start >= r.t0 - 1e-6 &&
+    view.start + view.dur <= r.t1 + 1e-6;
+  if (!(inside && needed <= r.colsPerSec * 1.02 &&
+        needed >= r.colsPerSec / 4)) {
+    // View left the cached region, or zoom changed the density by >4x:
+    // recompute around the current view with a buffer on each side,
+    // capped so a rebuild stays interactive (<= ~4k FFT columns).
+    const D = data.length / sr;
+    let buf = Math.min(10, 2 * view.dur);
+    const maxCols = 4096;
+    if ((view.dur + 2 * buf) * needed > maxCols) {
+      buf = Math.max(0, (maxCols / needed - view.dur) / 2);
+    }
+    const t0 = Math.max(0, view.start - buf);
+    const t1 = Math.min(D, view.start + view.dur + buf);
+    specRegion = buildSpecRegion(data, sr, url, t0, t1, needed, H, maxHz);
+  }
+  const reg = specRegion;
+  const srcX = (view.start - reg.t0) * reg.colsPerSec;
+  const srcW = Math.max(1, view.dur * reg.colsPerSec);
+  ctx.imageSmoothingEnabled = srcW > W;  // smooth only when minifying
+  ctx.drawImage(reg.canvas, srcX, 0, srcW, H, 0, 0, W, H);
+
+  // mel-frequency axis labels (view-independent y: stamped on the edge
+  // of the visible canvas, outside the blitted region)
+  const melMax = hzToMel(maxHz);
   ctx.fillStyle = "rgba(255,255,255,0.8)";
   ctx.font = "10px sans-serif";
   for (const hz of [500, 1000, 2000, 4000, 8000]) {
@@ -1108,15 +1199,6 @@ async function drawSpectrogram() {
     const y = Math.round((1 - hzToMel(hz) / melMax) * H);
     ctx.fillText(hz >= 1000 ? `${hz / 1000}k` : `${hz}`, 3, y - 2);
     ctx.fillRect(0, y, 14, 1);
-  }
-
-  if (view.dur <= 5) {   // viewport cache (reference: <=5 s visible)
-    if (specCache.size >= SPEC_CACHE_MAX) {
-      specCache.delete(specCache.keys().next().value);
-    }
-    specCache.set(key, ctx.getImageData(0, 0, W, H));
-    // redraw overlays lost by caching the image only — cache stores the
-    // full rendered frame, so nothing to do
   }
 }
 
