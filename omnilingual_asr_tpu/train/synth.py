@@ -303,6 +303,33 @@ def speaker_profile(speaker_id: int) -> Speaker:
     )
 
 
+#: Voice parameters measured from the TRAINED portion (first 75%) of the
+#: bundled real English recording (gettysburg.wav): frame-autocorrelation
+#: f0 median 101 Hz (IQR 93-113), dark spectrum (centroid 543 Hz < 4 kHz,
+#: HF/LF 0.009). Matched-voice English draws (voice_match_p) render the
+#: phoneme-English corpus in this voice so the scarce real windows and the
+#: plentiful synthetic English share one acoustic frame of reference —
+#: targeted domain adaptation for the reference's real-audio behavior
+#: (gemini_pipeline.py:512-530). Held-out audio is never read.
+GETTYSBURG_VOICE = Speaker(f0=101.0, formant_scale=1.02, breath=0.045,
+                           vibrato_hz=4.3, vibrato_depth=0.007)
+
+
+def matched_voice(rng: np.random.Generator) -> Speaker:
+    """A per-draw perturbation of GETTYSBURG_VOICE (f0 within the measured
+    IQR, slight tract-length spread) so matching doesn't collapse to one
+    exact voice."""
+    return Speaker(
+        f0=float(GETTYSBURG_VOICE.f0 * np.exp(rng.normal(0.0, 0.07))),
+        formant_scale=float(GETTYSBURG_VOICE.formant_scale
+                            * np.exp(rng.normal(0.0, 0.03))),
+        breath=float(GETTYSBURG_VOICE.breath * rng.uniform(0.7, 1.4)),
+        vibrato_hz=float(GETTYSBURG_VOICE.vibrato_hz + rng.uniform(-0.8, 0.8)),
+        vibrato_depth=float(GETTYSBURG_VOICE.vibrato_depth
+                            * rng.uniform(0.7, 1.3)),
+    )
+
+
 # (f0_mult, rate_mult, energy_mult, jitter)
 _EMOTION_PROSODY = {
     "neutral": (1.0, 1.0, 1.0, 0.01),
@@ -334,7 +361,8 @@ def synth_utterance(text: str, speaker_id: int, emotion: str = "neutral",
                     seed: int = 0, snr_db: Optional[float] = None,
                     rate: float = 1.0,
                     word_spans: Optional[list] = None,
-                    english: bool = False) -> np.ndarray:
+                    english: bool = False,
+                    speaker: Optional[Speaker] = None) -> np.ndarray:
     """Render text to 16 kHz float32 mono.
 
     word_spans, if passed a list, is filled with (char_index_ranges ->
@@ -342,9 +370,10 @@ def synth_utterance(text: str, speaker_id: int, emotion: str = "neutral",
     ``english=True`` routes through the phonetically-grounded G2P +
     phoneme formant path (train/synth_english.py) instead of the
     per-character cipher units — same span/noise contract.
+    ``speaker`` overrides the hash-derived profile (matched-voice draws).
     """
     rng = np.random.default_rng(seed)
-    spk = speaker_profile(speaker_id)
+    spk = speaker if speaker is not None else speaker_profile(speaker_id)
     f0m, ratem, energym, jitter = _EMOTION_PROSODY.get(
         emotion, _EMOTION_PROSODY["neutral"])
     tilt = 0.7 if emotion == "angry" else 1.0
@@ -450,13 +479,17 @@ class SynthExample:
     speaker_id: int
     translation: Optional[str]  # English gloss, None iff English
     char_spans: List[Tuple[int, int]]  # per text char (sample_start, end)
+    #: rendered in the bundled real recording's (perturbed) voice —
+    #: the batcher labels these speaker 0 like the real English crops
+    voice_matched: bool = False
 
 
 def make_example(rng: np.random.Generator, *,
                  min_words: int = 3, max_words: int = 10,
                  languages: Sequence[SynthLanguage] = LANGUAGES,
                  clean: bool = False,
-                 snr_range: Tuple[float, float] = (8.0, 40.0)
+                 snr_range: Tuple[float, float] = (8.0, 40.0),
+                 voice_match_p: float = 0.0
                  ) -> SynthExample:
     lang = languages[int(rng.integers(len(languages)))]
     lex = lexicon(lang)
@@ -470,16 +503,24 @@ def make_example(rng: np.random.Generator, *,
                    else " ".join(ENGLISH_WORDS[i] for i in idx))
     emotion = EMOTIONS[int(rng.integers(len(EMOTIONS)))]
     speaker_id = int(rng.integers(N_SPEAKERS))
+    speaker = None
+    if lang.is_english and voice_match_p > 0 and rng.random() < voice_match_p:
+        # Matched-voice English: render in (a perturbation of) the bundled
+        # real recording's voice; speaker_id 0 is that voice's label (the
+        # real English crops in SynthBatcher._one use the same id).
+        speaker = matched_voice(rng)
+        speaker_id = 0
+        emotion = "neutral"
     spans: List[Tuple[int, int]] = []
     samples = synth_utterance(
         text, speaker_id, emotion, seed=int(rng.integers(2**31)),
         snr_db=None if clean else float(rng.uniform(*snr_range)),
         rate=float(rng.uniform(0.9, 1.15)),
-        word_spans=spans, english=lang.is_english)
+        word_spans=spans, english=lang.is_english, speaker=speaker)
     return SynthExample(samples=samples, text=text, language=lang.name,
                         code=lang.code, emotion=emotion,
                         speaker_id=speaker_id, translation=translation,
-                        char_spans=spans)
+                        char_spans=spans, voice_matched=speaker is not None)
 
 
 def make_codeswitch_example(rng: np.random.Generator,
@@ -742,6 +783,8 @@ class SynthBatcher:
                  speed_range: Optional[Tuple[float, float]] = None,
                  channel_aug_p: float = 0.0,
                  real_match_p: float = 0.0,
+                 english_fraction: float = 0.0,
+                 voice_match_p: float = 0.0,
                  bake_mode: bool = False):
         import queue
         import threading
@@ -777,6 +820,12 @@ class SynthBatcher:
         #: recording's long-term average spectrum (real_ltas_match) —
         #: domain adaptation for the synthetic->real acoustic gap.
         self.real_match_p = real_match_p
+        #: share of SYNTHETIC draws pinned to English (0 = uniform over
+        #: languages) — the English-transfer fine-tune knob
+        self.english_fraction = english_fraction
+        #: probability an English synth draw renders in the real
+        #: recording's (perturbed) voice, labeled speaker 0
+        self.voice_match_p = voice_match_p
         self.codeswitch_fraction = codeswitch_fraction
         self._lang_id = lang_table.id_for_language
         self.real_train, self.real_eval = real_corpus(
@@ -856,10 +905,11 @@ class SynthBatcher:
                     rng, clean=True, min_words=1,
                     max_words=max(2, (mw or 10) // 2))
             else:
-                ex = make_example(rng, clean=True, **kw)
+                ex = make_example(rng, clean=True,
+                                  **self._english_kw(rng), **kw)
             return {"samples": ex.samples, "text": ex.text,
                     "language": ex.language, "emotion": ex.emotion,
-                    "speaker_id": 2 + ex.speaker_id % (N_SPEAKERS - 2),
+                    "speaker_id": self._spk_label(ex),
                     "translation": ex.translation,
                     "char_spans": ex.char_spans,
                     "lid_span_langs": getattr(ex, "lid_span_langs", None)}
@@ -883,12 +933,31 @@ class SynthBatcher:
                     "translation": ex.translation,
                     "char_spans": ex.char_spans,
                     "lid_span_langs": getattr(ex, "lid_span_langs", None)}
-        ex = make_example(rng, clean=True)
+        ex = make_example(rng, clean=True, **self._english_kw(rng))
         return {"samples": ex.samples, "text": ex.text,
                 "language": ex.language, "emotion": ex.emotion,
-                "speaker_id": 2 + ex.speaker_id % (N_SPEAKERS - 2),
+                "speaker_id": self._spk_label(ex),
                 "translation": ex.translation, "char_spans": ex.char_spans,
                 "lid_span_langs": None}
+
+    def _english_kw(self, rng) -> dict:
+        """English oversampling + matched-voice kwargs for make_example.
+        english_fraction > 0 pins the language to English for that share
+        of synthetic draws (the rest keep the uniform language draw)."""
+        kw: dict = {}
+        if self.voice_match_p > 0:
+            kw["voice_match_p"] = self.voice_match_p
+        if self.english_fraction > 0 and rng.random() < self.english_fraction:
+            kw["languages"] = [LANGUAGES[0]]   # English (LANGUAGES[0])
+        return kw
+
+    @staticmethod
+    def _spk_label(ex: SynthExample) -> int:
+        """Synth speakers map to ids >=2; matched-voice English renders ARE
+        the real English voice, so they share its label 0 (real crops)."""
+        if getattr(ex, "voice_matched", False):
+            return 0
+        return 2 + ex.speaker_id % (N_SPEAKERS - 2)
 
     def set_pool(self, pool_max: int, reuse_p: float) -> None:
         """Pool-size curriculum: CTC-from-scratch breaks off the unigram-

@@ -446,23 +446,94 @@ def g2p(text: str) -> List[Tuple[List[str], int, int]]:
 #: one encoder output frame at 16 kHz / hop 160 / subsample 4
 _SAMPLES_PER_CTC_FRAME = 640
 
+# ---------------------------------------------------------------------------
+# Lexical stress (v2): real English reduces unstressed vowels toward schwa,
+# lengthens + pitch-accents stressed nuclei, and lengthens phrase-final
+# rimes. The v1 corpus rendered every vowel at its full target, which is a
+# systematic mismatch with read speech (gettysburg) where function words
+# and weak syllables are heavily reduced.
+# ---------------------------------------------------------------------------
+
+#: function words: never stressed, vowels reduce
+_FUNCTION_WORDS = frozenset("""
+a an the of to in on at by for or and but as is are was were be been am
+do does did has have had he she it we they you i his her its our your
+their them him me us that this these those with from than then so if
+not no nor can could would should will shall may might must there
+""".split())
+
+#: words whose primary stress falls on the SECOND vowel nucleus
+_SECOND_STRESS = frozenset("""
+ago again against between believe become behind above about around
+enough together another away upon today machine untie because before
+result receive remain return report create idea event hotel advanced
+unfinished increased devotion detract
+""".split())
+
+_VOWEL_NUCLEI = frozenset(VOWELS) | frozenset(DIPHTHONGS)
+
+#: schwa target for reduction (AH)
+_SCHWA = VOWELS["AH"][0]
+
+#: vowels that resist reduction (rhotic + word-final tense vowels keep
+#: their identity in real reduced speech)
+_NO_REDUCE = frozenset({"ER", "AH"})
+
+
+def _word_stress(phones_per_chunk: List[List[str]],
+                 word: str) -> "set[Tuple[int, int]]":
+    """The one stressed nucleus of a word, as {(chunk_idx, phone_idx)}
+    (empty for function words): per-PHONE so multi-phone exception-dict
+    chunks (e.g. "nation" -> N EY SH AH N) stress only the nucleus."""
+    w = word.lower().strip(".,!?;:\"'")
+    nuclei = []   # (chunk_idx, phone_idx)
+    for ci, phones in enumerate(phones_per_chunk):
+        for pi, ph in enumerate(phones):
+            if ph in _VOWEL_NUCLEI:
+                nuclei.append((ci, pi))
+    if not nuclei or w in _FUNCTION_WORDS:
+        return set()
+    pick = 1 if (w in _SECOND_STRESS and len(nuclei) > 1) else 0
+    return {nuclei[pick]}
+
 
 def _phone_plan(text: str, rate_total: float):
-    """Expand text -> [(phone, dur_samples, char_lo, char_hi)]; every char
-    of the text is covered by >=1 plan entry (empty chunks get silence).
+    """Expand text -> [(phone, dur_samples, char_lo, char_hi, stress)];
+    every char of the text is covered by >=1 plan entry (empty chunks get
+    silence). stress: 1 = stressed nucleus chunk, 0 = unstressed, and the
+    utterance-final word's entries are phrase-final lengthened.
 
     Each grapheme chunk is stretched to at least ~1.4 encoder frames per
     character so the CTC byte rate stays feasible even for words with far
     fewer phones than letters ("through" -> TH R UW)."""
-    plan: List[Tuple[str, int, int, int]] = []
-    for phones, lo, hi in g2p(text):
+    chunks = g2p(text)
+    # group chunk indices into words (split on whitespace SIL chunks)
+    words: List[List[int]] = [[]]
+    for i, (_, lo, hi) in enumerate(chunks):
+        if hi <= len(text) and lo < len(text) and text[lo:hi].isspace():
+            if words[-1]:
+                words.append([])
+        else:
+            words[-1].append(i)
+    if words and not words[-1]:
+        words.pop()
+    stressed: "set[Tuple[int, int]]" = set()   # (chunk_idx, phone_idx)
+    for idxs in words:
+        word_text = text[chunks[idxs[0]][1]:chunks[idxs[-1]][2]]
+        for (k, pi) in _word_stress([chunks[i][0] for i in idxs], word_text):
+            stressed.add((idxs[k], pi))
+    final_word = set(words[-1]) if words else set()
+
+    plan: List[Tuple[str, int, int, int, int]] = []
+    for ci, (phones, lo, hi) in enumerate(chunks):
         chunk_start = len(plan)
         if not phones:
             phones = ["SIL"]
             base = 30.0
         else:
             base = None
-        for ph in phones:
+        for pj, ph in enumerate(phones):
+            stress = 1 if (ci, pj) in stressed else 0
             if ph == "SIL":
                 dur = base if base is not None else 80.0
             elif ph in VOWELS:
@@ -481,8 +552,15 @@ def _phone_plan(text: str, rate_total: float):
                 dur = 110.0
             else:
                 dur = 85.0
+            # stress-conditioned duration: stressed nuclei lengthen,
+            # unstressed vowels shorten (reduction); phrase-final word
+            # lengthens its rime (classic pre-boundary lengthening)
+            if ph in _VOWEL_NUCLEI:
+                dur *= 1.18 if stress else 0.72
+            if ci in final_word:
+                dur *= 1.25
             n = max(16, int(dur / 1000.0 * SAMPLE_RATE / rate_total))
-            plan.append((ph, n, lo, hi))
+            plan.append((ph, n, lo, hi, stress))
         # CTC feasibility floor: >=1.4 frames per char in this chunk.
         # Absolute (NOT rate-scaled): labels don't shrink with fast speech.
         n_min = int((hi - lo) * 1.4 * _SAMPLES_PER_CTC_FRAME)
@@ -490,8 +568,8 @@ def _phone_plan(text: str, rate_total: float):
         if 0 < have < n_min:
             f = n_min / have
             plan[chunk_start:] = [
-                (ph, int(n * f) + 1, lo2, hi2)
-                for (ph, n, lo2, hi2) in plan[chunk_start:]]
+                (ph, int(n * f) + 1, lo2, hi2, st2)
+                for (ph, n, lo2, hi2, st2) in plan[chunk_start:]]
     return plan
 
 
@@ -529,17 +607,28 @@ def synth_utterance_en(text: str, spk, emotion_prosody, *, seed: int = 0,
     plan = _phone_plan(text, rate_total)
 
     # formant track targets per plan entry (sonorants interpolate across
-    # neighbors = coarticulation; obstruents break the chain)
-    targets = [_vowel_targets(p[0]) for p in plan]
+    # neighbors = coarticulation; obstruents break the chain). Unstressed
+    # monophthong vowels reduce toward schwa (v2): real English centralizes
+    # weak syllables, and the v1 full-target rendering was a systematic
+    # mismatch with read speech.
+    targets = []
+    for (ph, _n, _lo, _hi, stress) in plan:
+        t = _vowel_targets(ph)
+        if ph in VOWELS and not stress and ph not in _NO_REDUCE:
+            t = tuple(0.55 * a + 0.45 * s for a, s in zip(t, _SCHWA))
+        targets.append(t)
 
     pieces: List[np.ndarray] = []
     # sample range per grapheme chunk; split per char afterwards
     chunk_ranges: List[List[int]] = []   # [lo, hi, s0, s1]
     total = 0
     n_plan = len(plan)
-    for pi, (ph, n, lo, hi) in enumerate(plan):
+    for pi, (ph, n, lo, hi, stress) in enumerate(plan):
         decl = 1.0 - 0.25 * (pi / max(1, n_plan))
-        f0 = spk.f0 * f0m * decl * (1.0 + jitter * rng.standard_normal())
+        # pitch accent on stressed nuclei, slight dip on weak syllables
+        accent = 1.14 if stress else 0.97
+        f0 = (spk.f0 * f0m * decl * accent
+              * (1.0 + jitter * rng.standard_normal()))
 
         def voiced_seg(n, track_fn, gain, breath_mult=1.0):
             t_abs = (total + np.arange(n)) / SAMPLE_RATE
@@ -577,6 +666,9 @@ def synth_utterance_en(text: str, spk, emotion_prosody, *, seed: int = 0,
                 b_t = VOWELS[DIPHTHONGS[ph][1]][0]
             else:
                 a_t = b_t = own
+            if ph in VOWELS and not stress and ph not in _NO_REDUCE:
+                # reduced vowel: its own (already-schwa-pulled) target
+                a_t = b_t = targets[pi]
             prev_t = targets[pi - 1] if (
                 pi > 0 and plan[pi - 1][0] in _VOICED_SONORANT) else a_t
             next_t = targets[pi + 1] if (
@@ -597,7 +689,10 @@ def synth_utterance_en(text: str, spk, emotion_prosody, *, seed: int = 0,
                 hi_t = tuple(0.5 * (p + q) for p, q in zip(next_t, b_t))
                 return tuple(l + (h - l) * u for l, h in zip(b_t, hi_t))
 
-            gain = 0.9 if (ph in VOWELS or ph in DIPHTHONGS) else 0.55
+            if ph in VOWELS or ph in DIPHTHONGS:
+                gain = 0.95 if stress else 0.78   # stress = louder nucleus
+            else:
+                gain = 0.55
             breath_mult = 1.0 if ph in VOWELS or ph in DIPHTHONGS else 0.6
             seg = voiced_seg(n, track, gain, breath_mult)
             if ph in NASALS:   # murmur: soften everything above ~800 Hz

@@ -132,6 +132,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 aux_ramp_start: int = 0, aux_ramp_steps: int = 2000,
                 speed_perturb: float = 0.0, wire: str = "i16",
                 channel_aug: float = 0.0, real_match: float = 0.0,
+                english_fraction: float = 0.0, voice_match: float = 0.0,
+                real_fraction: float = 0.15,
                 device_pool: int = 0, pool_refresh_every: int = 150):
     mesh = build_mesh(cfg.mesh)
     use_pool = device_pool > 0
@@ -166,6 +168,9 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                                         if speed_perturb > 0 else None),
                            channel_aug_p=channel_aug,
                            real_match_p=real_match,
+                           english_fraction=english_fraction,
+                           voice_match_p=voice_match,
+                           real_fraction=real_fraction,
                            bake_mode=use_pool)
     # Length curriculum (CTC from scratch sits on a "unigram prior" plateau
     # until alignment locks in; short utterances have exponentially fewer
@@ -461,6 +466,16 @@ def main():
     ap.add_argument("--real-match", type=float, default=0.0,
                     help="probability of EQ-matching English draws to the "
                          "real recording's long-term average spectrum")
+    ap.add_argument("--english-fraction", type=float, default=0.0,
+                    help="pin this share of synthetic draws to English "
+                         "(0 = uniform over languages) — the English-"
+                         "transfer fine-tune knob")
+    ap.add_argument("--voice-match", type=float, default=0.0,
+                    help="probability an English synth draw renders in the "
+                         "real recording's (perturbed) voice, labeled "
+                         "speaker 0")
+    ap.add_argument("--real-fraction", type=float, default=0.15,
+                    help="share of draws that are real-recording crops")
     ap.add_argument("--channel-aug", type=float, default=0.0,
                     help="probability of per-draw room/channel simulation "
                          "(synthetic reverb + spectral tilt); decorrelates "
@@ -508,6 +523,9 @@ def main():
                 aux_ramp_steps=args.aux_ramp_steps,
                 speed_perturb=args.speed_perturb, wire=args.wire,
                 channel_aug=args.channel_aug, real_match=args.real_match,
+                english_fraction=args.english_fraction,
+                voice_match=args.voice_match,
+                real_fraction=args.real_fraction,
                 device_pool=args.device_pool,
                 pool_refresh_every=args.pool_refresh_every)
 

@@ -109,3 +109,69 @@ def test_voiced_vowels_have_harmonic_structure():
     low = spec[(freqs > 100) & (freqs < 4000)].sum()
     high = spec[freqs > 6000].sum()
     assert low > 5 * high
+
+
+# -- v2: lexical stress, vowel reduction, matched voice ----------------------
+
+
+def test_stress_one_nucleus_per_content_word():
+    from omnilingual_asr_tpu.train.synth_english import _phone_plan
+    plan = _phone_plan("the great nation", 1.0)
+    stressed = [(p[0], p[2], p[3]) for p in plan if p[4]]
+    # exactly one stressed nucleus per content word; "the" unstressed
+    assert len(stressed) == 2
+    assert all(ph == "EY" for ph, _, _ in stressed)
+
+
+def test_second_stress_words():
+    from omnilingual_asr_tpu.train.synth_english import _phone_plan
+    plan = _phone_plan("again", 1.0)
+    stressed = [p[0] for p in plan if p[4]]
+    assert stressed == ["EH"]          # a-GAIN
+
+
+def test_unstressed_vowel_is_shorter():
+    from omnilingual_asr_tpu.train.synth_english import _phone_plan
+    # same vowel EY: stressed in "great", reduced schedule in "nation"'s AH
+    plan = _phone_plan("great nation", 1.0)
+    by = {(p[0], p[4]): p[1] for p in plan}
+    assert by[("EY", 1)] > by[("AH", 0)]
+
+
+def test_matched_voice_draws_label_speaker_zero():
+    from omnilingual_asr_tpu.train.synth import LANGUAGES, make_example
+    rng = np.random.default_rng(3)
+    ex = make_example(rng, voice_match_p=1.0, languages=[LANGUAGES[0]])
+    assert ex.voice_matched
+    assert ex.speaker_id == 0
+    assert np.isfinite(ex.samples).all()
+    # non-English languages never voice-match
+    ex2 = make_example(rng, voice_match_p=1.0, languages=[LANGUAGES[1]])
+    assert not ex2.voice_matched
+
+
+def test_matched_voice_f0_near_measurement():
+    """Matched-voice renders should sit near the measured 101 Hz median."""
+    from omnilingual_asr_tpu.train.synth import matched_voice
+    rng = np.random.default_rng(0)
+    f0s = [matched_voice(rng).f0 for _ in range(200)]
+    assert 90 < float(np.median(f0s)) < 113
+
+
+def test_batcher_english_fraction():
+    from omnilingual_asr_tpu.config import tiny_config
+    from omnilingual_asr_tpu.models.languages import id_for_language
+    from omnilingual_asr_tpu.train.synth import SynthBatcher
+
+    b = SynthBatcher(tiny_config(), batch_size=4, window_seconds=2.0,
+                     english_fraction=1.0, voice_match_p=1.0,
+                     real_fraction=0.0, codeswitch_fraction=0.0,
+                     n_threads=1, prefetch=1, seed=11)
+    try:
+        batch = next(iter(b))
+    finally:
+        b.close()
+    en = id_for_language("English")
+    assert (batch["lid_label"] == en).all()
+    # matched-voice English draws carry the real voice's speaker label 0
+    assert (batch["speaker_label"] == 0).all()
