@@ -165,4 +165,10 @@ def synth_lexicon(*, include_real: bool = True,
                 words.extend((w, math.log(1e-4)) for w in uniq if w)
         except Exception:
             pass  # reference assets absent (bare CI checkout)
+        # English sentence-bank vocabulary (train/english_text.py): the
+        # grammatical-English training draws use these words, so the
+        # decode-time prior must too.
+        from ..train.english_text import english_bank_words
+
+        words.extend((w, math.log(1e-4)) for w in english_bank_words())
     return TrieLM(words, oov_byte_logp=oov_byte_logp)

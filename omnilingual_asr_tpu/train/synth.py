@@ -489,18 +489,29 @@ def make_example(rng: np.random.Generator, *,
                  languages: Sequence[SynthLanguage] = LANGUAGES,
                  clean: bool = False,
                  snr_range: Tuple[float, float] = (8.0, 40.0),
-                 voice_match_p: float = 0.0
+                 voice_match_p: float = 0.0,
+                 english_sentence_p: float = 0.0
                  ) -> SynthExample:
     lang = languages[int(rng.integers(len(languages)))]
-    lex = lexicon(lang)
-    n_words = int(rng.integers(min_words, max_words + 1))
-    # zipf-ish index draw keeps common words common
-    idx = np.minimum(
-        (rng.pareto(1.2, n_words) * 12).astype(int), LEXICON_SIZE - 1)
-    words = [lex[i] for i in idx]
-    text = " ".join(words)
-    translation = (None if lang.is_english
-                   else " ".join(ENGLISH_WORDS[i] for i in idx))
+    if (lang.is_english and english_sentence_p > 0
+            and rng.random() < english_sentence_p):
+        # grammatical English from the sentence bank (real word order,
+        # function-word rhythm) instead of an i.i.d. lexicon draw
+        from .english_text import sample_sentence
+
+        text = sample_sentence(rng, min_words=min_words,
+                               max_words=max_words)
+        translation = None
+    else:
+        lex = lexicon(lang)
+        n_words = int(rng.integers(min_words, max_words + 1))
+        # zipf-ish index draw keeps common words common
+        idx = np.minimum(
+            (rng.pareto(1.2, n_words) * 12).astype(int), LEXICON_SIZE - 1)
+        words = [lex[i] for i in idx]
+        text = " ".join(words)
+        translation = (None if lang.is_english
+                       else " ".join(ENGLISH_WORDS[i] for i in idx))
     emotion = EMOTIONS[int(rng.integers(len(EMOTIONS)))]
     speaker_id = int(rng.integers(N_SPEAKERS))
     speaker = None
@@ -785,6 +796,7 @@ class SynthBatcher:
                  real_match_p: float = 0.0,
                  english_fraction: float = 0.0,
                  voice_match_p: float = 0.0,
+                 english_sentence_p: float = 0.0,
                  bake_mode: bool = False):
         import queue
         import threading
@@ -826,6 +838,9 @@ class SynthBatcher:
         #: probability an English synth draw renders in the real
         #: recording's (perturbed) voice, labeled speaker 0
         self.voice_match_p = voice_match_p
+        #: probability an English synth draw uses the grammatical sentence
+        #: bank (train/english_text.py) instead of an i.i.d. lexicon draw
+        self.english_sentence_p = english_sentence_p
         self.codeswitch_fraction = codeswitch_fraction
         self._lang_id = lang_table.id_for_language
         self.real_train, self.real_eval = real_corpus(
@@ -947,6 +962,8 @@ class SynthBatcher:
         kw: dict = {}
         if self.voice_match_p > 0:
             kw["voice_match_p"] = self.voice_match_p
+        if self.english_sentence_p > 0:
+            kw["english_sentence_p"] = self.english_sentence_p
         if self.english_fraction > 0 and rng.random() < self.english_fraction:
             kw["languages"] = [LANGUAGES[0]]   # English (LANGUAGES[0])
         return kw

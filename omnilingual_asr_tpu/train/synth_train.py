@@ -133,7 +133,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 speed_perturb: float = 0.0, wire: str = "i16",
                 channel_aug: float = 0.0, real_match: float = 0.0,
                 english_fraction: float = 0.0, voice_match: float = 0.0,
-                real_fraction: float = 0.15,
+                english_sentences: float = 0.0, real_fraction: float = 0.15,
                 device_pool: int = 0, pool_refresh_every: int = 150):
     mesh = build_mesh(cfg.mesh)
     use_pool = device_pool > 0
@@ -170,6 +170,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                            real_match_p=real_match,
                            english_fraction=english_fraction,
                            voice_match_p=voice_match,
+                           english_sentence_p=english_sentences,
                            real_fraction=real_fraction,
                            bake_mode=use_pool)
     # Length curriculum (CTC from scratch sits on a "unigram prior" plateau
@@ -474,6 +475,10 @@ def main():
                     help="probability an English synth draw renders in the "
                          "real recording's (perturbed) voice, labeled "
                          "speaker 0")
+    ap.add_argument("--english-sentences", type=float, default=0.0,
+                    help="probability an English synth draw uses the "
+                         "grammatical sentence bank instead of an i.i.d. "
+                         "lexicon draw")
     ap.add_argument("--real-fraction", type=float, default=0.15,
                     help="share of draws that are real-recording crops")
     ap.add_argument("--channel-aug", type=float, default=0.0,
@@ -525,6 +530,7 @@ def main():
                 channel_aug=args.channel_aug, real_match=args.real_match,
                 english_fraction=args.english_fraction,
                 voice_match=args.voice_match,
+                english_sentences=args.english_sentences,
                 real_fraction=args.real_fraction,
                 device_pool=args.device_pool,
                 pool_refresh_every=args.pool_refresh_every)

@@ -175,3 +175,43 @@ def test_batcher_english_fraction():
     assert (batch["lid_label"] == en).all()
     # matched-voice English draws carry the real voice's speaker label 0
     assert (batch["speaker_label"] == 0).all()
+
+
+def test_sentence_bank_sampling_respects_word_budget():
+    from omnilingual_asr_tpu.train.english_text import (
+        SENTENCES,
+        sample_sentence,
+    )
+    assert len(SENTENCES) > 100
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        s = sample_sentence(rng, min_words=2, max_words=5)
+        assert 2 <= len(s.split()) <= 5
+        assert s.islower()
+
+
+def test_english_sentence_examples():
+    from omnilingual_asr_tpu.train.english_text import english_bank_words
+    from omnilingual_asr_tpu.train.synth import LANGUAGES, make_example
+
+    bank = english_bank_words()
+    rng = np.random.default_rng(5)
+    ex = make_example(rng, languages=[LANGUAGES[0]], english_sentence_p=1.0)
+    assert all(w in bank for w in ex.text.split())
+    assert ex.translation is None
+    assert len(ex.char_spans) == len(ex.text)
+    assert np.isfinite(ex.samples).all()
+
+
+def test_lexicon_includes_bank_words():
+    from omnilingual_asr_tpu.ops.lexicon import synth_lexicon
+
+    lm = synth_lexicon()
+    st = lm.start()
+    total = 0.0
+    for b in b"monument ":
+        st, d = lm.advance(st, b)
+        total += d
+    # in-lexicon word: no OOV byte penalties on the way in, completion
+    # charged at the boundary with its (small) unigram logp
+    assert total > lm.oov_byte_logp * 4
