@@ -134,6 +134,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 channel_aug: float = 0.0, real_match: float = 0.0,
                 english_fraction: float = 0.0, voice_match: float = 0.0,
                 english_sentences: float = 0.0, real_fraction: float = 0.15,
+                select: str = "synth", select_synth_cap: float = 0.08,
                 device_pool: int = 0, pool_refresh_every: int = 150):
     mesh = build_mesh(cfg.mesh)
     use_pool = device_pool > 0
@@ -404,8 +405,17 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                     mlog.write(json.dumps(rline) + "\n")
                     mlog.flush()
                 w = report.get("synth", {}).get("wer", float("inf"))
-                if w < best_wer:
-                    best_wer = w
+                if select == "transfer":
+                    # English-transfer selection: minimize real-recording
+                    # held-out CER among evals whose synth WER stays under
+                    # the cap (don't trade the 8-language corpus away)
+                    c = report.get("gettysburg_heldout",
+                                   {}).get("cer", float("inf"))
+                    score = c if w <= select_synth_cap else float("inf")
+                else:
+                    score = w
+                if score < best_wer:
+                    best_wer = score
                     save("best")
                 save("last")
     finally:
@@ -481,6 +491,12 @@ def main():
                          "lexicon draw")
     ap.add_argument("--real-fraction", type=float, default=0.15,
                     help="share of draws that are real-recording crops")
+    ap.add_argument("--select", default="synth",
+                    choices=["synth", "transfer"],
+                    help="best/ selection: min synth WER (default), or "
+                         "'transfer' = min gettysburg held-out CER among "
+                         "evals with synth WER <= --select-synth-cap")
+    ap.add_argument("--select-synth-cap", type=float, default=0.08)
     ap.add_argument("--channel-aug", type=float, default=0.0,
                     help="probability of per-draw room/channel simulation "
                          "(synthetic reverb + spectral tilt); decorrelates "
@@ -532,6 +548,8 @@ def main():
                 voice_match=args.voice_match,
                 english_sentences=args.english_sentences,
                 real_fraction=args.real_fraction,
+                select=args.select,
+                select_synth_cap=args.select_synth_cap,
                 device_pool=args.device_pool,
                 pool_refresh_every=args.pool_refresh_every)
 
