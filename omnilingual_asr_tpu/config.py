@@ -143,6 +143,9 @@ class DecodeConfig:
     lm_word_bonus: float = 0.0        # per-word insertion bonus (beta)
     lexicon: Optional[str] = "synth"  # "synth" = training-corpus lexicons
     #                                   (+ bundled real-recording vocab);
+    #                                   "synth_bigram" adds English
+    #                                   word-bigram context from the
+    #                                   sentence bank (BigramTrieLM);
     #                                   or a path to a newline word list
     segment_min_s: float = 2.0        # segment granularity contract
     segment_max_s: float = 10.0       # (reference prompt, gemini_pipeline.py:206)

@@ -1112,6 +1112,11 @@ class TranscriptionEngine:
             src = self.config.decode.lexicon
             if src == "synth":
                 lm = synth_lexicon()
+            elif src == "synth_bigram":
+                # + word-bigram context from the English sentence bank
+                # (ops/lexicon.py BigramTrieLM); cipher languages score
+                # identically to the unigram trie
+                lm = synth_lexicon(bigram=True)
             else:
                 import math
 

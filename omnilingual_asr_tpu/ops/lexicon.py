@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 from typing import Dict, Iterable, List, Optional, Tuple
 
-__all__ = ["TrieLM", "synth_lexicon", "LMState"]
+__all__ = ["TrieLM", "BigramTrieLM", "synth_lexicon", "LMState"]
 
 # Bytes that terminate a word during decoding. Everything else (letters,
 # apostrophe/hyphen, and all non-ASCII UTF-8 continuation/lead bytes of the
@@ -123,6 +123,106 @@ class TrieLM:
         return n_words + (1 if depth else 0), self._complete(node, depth)
 
 
+class BigramTrieLM(TrieLM):
+    """TrieLM + word-bigram context from a sentence corpus.
+
+    State grows to (node, depth, n_words, prev_word_id) — index 2 stays
+    n_words, so ops/beam.py's word-bonus lookup is unchanged. Completing a
+    word charges
+
+        log[ (c(prev, w) + K * p_uni(w)) / (c(prev, ·) + K) ]
+
+    an interpolated bigram whose unseen-context limit (c = 0) degenerates
+    EXACTLY to the base unigram trie score, so cipher-language decoding is
+    bit-identical to TrieLM and only English words with observed bigram
+    context (train/english_text.py sentence bank) are re-ranked.
+    """
+
+    def __init__(self, words: Iterable[Tuple[str, float]], *,
+                 sentences: Iterable[str],
+                 oov_byte_logp: float = -4.0,
+                 strength: float = 20.0) -> None:
+        super().__init__(words, oov_byte_logp=oov_byte_logp)
+        self.strength = float(strength)
+        # word-id per trie terminal node (only words seen in sentences
+        # get ids — everything else keeps pure unigram behavior)
+        self.node_wid: Dict[int, int] = {}
+        self._wid = 0
+        self.big_counts: Dict[Tuple[int, int], float] = {}
+        self.ctx_counts: Dict[int, float] = {}
+
+        def node_of(word: str) -> int:
+            node = 0
+            for b in word.lower().encode("utf-8"):
+                node = self.children[node].get(_norm(b), -1)
+                if node < 0:
+                    return -1
+            return node if self.word_logp[node] is not None else -1
+
+        def wid_of(word: str) -> int:
+            n = node_of(word)
+            if n < 0:
+                return -1
+            if n not in self.node_wid:
+                self.node_wid[n] = self._wid
+                self._wid += 1
+            return self.node_wid[n]
+
+        for sent in sentences:
+            prev = -1
+            for w in sent.split():
+                cur = wid_of(w)
+                if prev >= 0 and cur >= 0:
+                    self.big_counts[(prev, cur)] = (
+                        self.big_counts.get((prev, cur), 0.0) + 1.0)
+                    self.ctx_counts[prev] = self.ctx_counts.get(prev, 0) + 1.0
+                prev = cur
+
+    # -- scoring ------------------------------------------------------------
+
+    def start(self) -> Tuple[int, int, int, int]:
+        return (0, 0, 0, -1)
+
+    def _complete_bigram(self, node: int, depth: int,
+                         prev: int) -> Tuple[float, int]:
+        """(logp delta for ending the word here, next prev_word_id)."""
+        if depth == 0:
+            return 0.0, prev
+        if node >= 0:
+            base = self.word_logp[node]
+            if base is not None:
+                wid = self.node_wid.get(node, -1)
+                ctx = self.ctx_counts.get(prev, 0.0) if prev >= 0 else 0.0
+                if ctx > 0:
+                    c = self.big_counts.get((prev, wid), 0.0) if wid >= 0 \
+                        else 0.0
+                    k = self.strength
+                    p = (c + k * math.exp(base)) / (ctx + k)
+                    return math.log(max(p, 1e-12)), wid
+                return base, wid
+            return self.oov_byte_logp * depth, -1
+        return 0.0, -1   # OOV: bytes charged on the way in
+
+    def advance(self, state, byte_val: int):
+        node, depth, n_words, prev = state
+        b = _norm(byte_val)
+        if b in _BOUNDARY:
+            delta, nprev = self._complete_bigram(node, depth, prev)
+            return (0, 0, n_words + (1 if depth else 0), nprev), delta
+        if node >= 0:
+            nxt = self.children[node].get(b)
+            if nxt is not None:
+                return (nxt, depth + 1, n_words, prev), 0.0
+            return ((-1, depth + 1, n_words, prev),
+                    self.oov_byte_logp * (depth + 1))
+        return (-1, depth + 1, n_words, prev), self.oov_byte_logp
+
+    def finalize(self, state) -> Tuple[int, float]:
+        node, depth, n_words, prev = state
+        delta, _ = self._complete_bigram(node, depth, prev)
+        return n_words + (1 if depth else 0), delta
+
+
 def _pareto_index_logps(n: int, shape: float = 1.2,
                         scale: float = 12.0) -> List[float]:
     """log P(index = i) for the synthetic corpus's word draw
@@ -138,7 +238,8 @@ def _pareto_index_logps(n: int, shape: float = 1.2,
 
 
 def synth_lexicon(*, include_real: bool = True,
-                  oov_byte_logp: float = -4.0) -> TrieLM:
+                  oov_byte_logp: float = -4.0,
+                  bigram: bool = False) -> TrieLM:
     """The decoding lexicon matching the training distribution: every
     synthetic language's cipher lexicon (train/synth.py) scored by the
     corpus's pareto index draw, plus the vocabulary of the bundled real
@@ -171,4 +272,9 @@ def synth_lexicon(*, include_real: bool = True,
         from ..train.english_text import english_bank_words
 
         words.extend((w, math.log(1e-4)) for w in english_bank_words())
+    if bigram:
+        from ..train.english_text import SENTENCES
+
+        return BigramTrieLM(words, sentences=SENTENCES,
+                            oov_byte_logp=oov_byte_logp)
     return TrieLM(words, oov_byte_logp=oov_byte_logp)

@@ -281,3 +281,85 @@ class TestEngineBeamText:
         T = topk[0].shape[0]
         assert self._beam_text(topk, 0, T, alpha=0.0) == "fogr"
         assert self._beam_text(topk, 0, T, alpha=0.6) == "four"
+
+
+class TestBigramLM:
+    def _lm(self):
+        from omnilingual_asr_tpu.ops.lexicon import synth_lexicon
+
+        return synth_lexicon(bigram=True)
+
+    @staticmethod
+    def _score(lm, text: str) -> float:
+        st = lm.start()
+        total = 0.0
+        for b in text.encode("utf-8"):
+            st, d = lm.advance(st, b)
+            total += d
+        _, d = lm.finalize(st)
+        return total + d
+
+    def test_state_word_count_index(self):
+        """ops/beam.py reads n_words at state index 2 — keep it there."""
+        lm = self._lm()
+        st = lm.start()
+        for b in b"the old man":
+            st, _ = lm.advance(st, b)
+        n_words, _ = lm.finalize(st)
+        assert st[2] == 2           # two completed words mid-state
+        assert n_words == 3
+
+    def test_bank_order_beats_scrambled(self):
+        """Observed word order from the sentence bank should outscore the
+        same words scrambled (what a bag-of-words unigram cannot do)."""
+        lm = self._lm()
+        assert (self._score(lm, "the old man walked")
+                > self._score(lm, "walked man old the"))
+
+    def test_unseen_context_matches_unigram(self):
+        """Cipher-language decoding must be bit-identical to the unigram
+        trie (no sentence-bank context exists for those words)."""
+        from omnilingual_asr_tpu.ops.lexicon import synth_lexicon
+        from omnilingual_asr_tpu.train.synth import LANGUAGES, lexicon
+
+        uni = synth_lexicon()
+        big = self._lm()
+        words = lexicon(LANGUAGES[2])[:5]    # Russian cipher words
+        text = " ".join(words)
+        assert abs(self._score(big, text)
+                   - TestBigramLM._score(uni, text)) < 1e-9
+
+    def test_beam_search_accepts_bigram_lm(self):
+        import numpy as np
+
+        from omnilingual_asr_tpu.ops.beam import ctc_prefix_beam_search
+
+        lm = self._lm()
+        rng = np.random.default_rng(0)
+        logp = rng.normal(-3, 1, size=(6, 12)).astype(np.float32)
+        beams = ctc_prefix_beam_search(logp, beam_size=4, blank_id=0,
+                                       lm=lm, lm_alpha=0.3)
+        assert beams and isinstance(beams[0].prefix, tuple)
+
+    def test_engine_decode_lm_bigram_factory(self):
+        """lexicon='synth_bigram' builds a BigramTrieLM through the real
+        engine factory and decodes through _beam_text."""
+        from dataclasses import replace
+        from types import SimpleNamespace
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+        from omnilingual_asr_tpu.ops.lexicon import BigramTrieLM
+
+        cfg = tiny_config()
+        cfg = replace(cfg, decode=replace(cfg.decode, beam_size=4,
+                                          lm_alpha=0.3,
+                                          lexicon="synth_bigram"))
+        fake = SimpleNamespace(config=cfg)
+        fake._decode_lm = lambda: TranscriptionEngine._decode_lm(fake)
+        lm = fake._decode_lm()
+        assert isinstance(lm, BigramTrieLM)
+        lp = np.full((4, 3), -2.0, np.float32)
+        ids = np.tile(np.array([0, 1, 2]), (4, 1))
+        out = TranscriptionEngine._beam_text(fake, (lp, ids), 0, 4)
+        assert out is not None
