@@ -80,6 +80,9 @@ def main():
                     help="lexicon-LM shallow-fusion weight (ops/lexicon.py)")
     ap.add_argument("--word-bonus", type=float, default=None,
                     help="per-word insertion bonus for LM fusion")
+    ap.add_argument("--lexicon", default=None,
+                    help="DecodeConfig.lexicon override ('synth', "
+                         "'synth_bigram', or a word-list path)")
     args = ap.parse_args()
 
     from omnilingual_asr_tpu.config import config_for_checkpoint, PipelineConfig, tiny_config
@@ -101,7 +104,7 @@ def main():
     else:
         cfg = PipelineConfig.from_env()
     if (args.beam is not None or args.lm_alpha is not None
-            or args.word_bonus is not None):
+            or args.word_bonus is not None or args.lexicon is not None):
         import dataclasses
 
         dec = cfg.decode
@@ -111,6 +114,8 @@ def main():
             dec = dataclasses.replace(dec, lm_alpha=args.lm_alpha)
         if args.word_bonus is not None:
             dec = dataclasses.replace(dec, lm_word_bonus=args.word_bonus)
+        if args.lexicon is not None:
+            dec = dataclasses.replace(dec, lexicon=args.lexicon)
         cfg = dataclasses.replace(cfg, decode=dec)
     quantize = {"none": False, "int8": True,
                 "w8": "w8", "a8": "a8"}[args.quantize]

@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--out", default="evals/r3")
     ap.add_argument("--alphas", default="0.0,0.3,0.6,1.0")
     ap.add_argument("--betas", default="0.0,0.5,1.5")
+    ap.add_argument("--lexicons", default="synth",
+                    help="comma list of DecodeConfig.lexicon values to "
+                         "compare (e.g. 'synth,synth_bigram'); the LM "
+                         "cache resets per value")
     ap.add_argument("--workdir", default="/tmp/omniasr_lm_sweep")
     args = ap.parse_args()
 
@@ -81,13 +85,17 @@ def main() -> None:
         for a in (float(x) for x in args.alphas.split(",")) if a > 0
         for b in (float(x) for x in args.betas.split(","))
     ]
+    lexicons = [x.strip() for x in args.lexicons.split(",") if x.strip()]
     with out_path.open("w") as f:
+      for lex in lexicons:
+        engine._lexicon_lm = None   # rebuild per lexicon mode
         for alpha, beta in grid:
             engine.config = dataclasses.replace(
                 engine.config, decode=dataclasses.replace(
-                    engine.config.decode,
+                    engine.config.decode, lexicon=lex,
                     lm_alpha=alpha, lm_word_bonus=beta))
-            line = {"beam": args.beam, "alpha": alpha, "beta": beta}
+            line = {"beam": args.beam, "lexicon": lex,
+                    "alpha": alpha, "beta": beta}
             for name, p in subs.items():
                 rep = evaluate(engine, p)
                 line[name] = {"wer": round(rep.wer, 4),

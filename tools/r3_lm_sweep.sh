@@ -16,15 +16,16 @@ SWEEP="$OUT/lm_sweep.jsonl"
 : > "$SWEEP"
 
 run_one() {
-  local alpha=$1 beta=$2
-  echo "== beam=$BEAM alpha=$alpha beta=$beta"
+  local alpha=$1 beta=$2 lex=${3:-synth}
+  echo "== beam=$BEAM alpha=$alpha beta=$beta lexicon=$lex"
   timeout 2400 python eval_synth.py --ckpt "$CKPT" --n 64 \
       --beam "$BEAM" --lm-alpha "$alpha" --word-bonus "$beta" \
+      --lexicon "$lex" \
       > /tmp/lm_sweep_one.log 2>&1
   local rc=$?
   local line
   line=$(tail -1 /tmp/lm_sweep_one.log)
-  echo "{\"beam\": $BEAM, \"alpha\": $alpha, \"beta\": $beta, \"rc\": $rc, \"result\": $line}" >> "$SWEEP"
+  echo "{\"beam\": $BEAM, \"lexicon\": \"$lex\", \"alpha\": $alpha, \"beta\": $beta, \"rc\": $rc, \"result\": $line}" >> "$SWEEP"
   echo "rc=$rc $line"
 }
 
@@ -38,5 +39,9 @@ for alpha in 0.3 0.6 1.0; do
   for beta in 0.5 1.5; do
     run_one "$alpha" "$beta"
   done
+done
+# bigram rows: English word-order context from the sentence bank
+for alpha in 0.3 0.6; do
+  run_one "$alpha" 0.0 synth_bigram
 done
 echo "sweep done -> $SWEEP"
