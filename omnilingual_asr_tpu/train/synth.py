@@ -697,7 +697,42 @@ def real_recordings(reference_dir: str | Path = "/root/reference",
 
 
 _LTAS_GRID = 256
-_LTAS_REAL: "Optional[np.ndarray] | bool" = None
+_LTAS_REAL: "Optional[List[np.ndarray]] | bool" = None
+
+
+def unique_real_audio(reference_dir: str | Path = "/root/reference"
+                      ) -> List[Path]:
+    """Paths of the UNIQUE real recordings bundled with the reference:
+    gettysburg.wav, the Lisu demo, and the distinct files in the demo app's
+    uploads folder (which is mostly copies — deduped by size + head hash).
+    Only gettysburg has a trustworthy transcript (real_corpus); the rest
+    are unlabeled but still real channels/voices, used for channel-
+    statistics matching (real_ltas_match), never for supervision."""
+    import hashlib
+
+    ref = Path(reference_dir)
+    cands = [ref / "gettysburg.wav",
+             ref / "public" / "codeswitching-demo.mp3"]
+    uploads = ref / "workflows" / "wav2elan_web" / "uploads"
+    if uploads.is_dir():
+        cands.extend(sorted(uploads.rglob("*")))
+    seen = set()
+    out: List[Path] = []
+    for p in cands:
+        try:
+            if not (p.is_file() and p.suffix.lower() in
+                    (".wav", ".mp3", ".flac", ".ogg")):
+                continue
+            with open(p, "rb") as f:
+                head = f.read(65536)
+            key = (p.stat().st_size, hashlib.md5(head).hexdigest())
+        except OSError:
+            continue
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(p)
+    return out
 
 
 def _smoothed_ltas(x: np.ndarray, grid: int = _LTAS_GRID) -> np.ndarray:
@@ -715,24 +750,43 @@ def _smoothed_ltas(x: np.ndarray, grid: int = _LTAS_GRID) -> np.ndarray:
     return np.interp(dst, src, p).astype(np.float32)
 
 
-def real_ltas_match(row: np.ndarray) -> np.ndarray:
-    """EQ a synthetic-English draw toward the real recording's long-term
-    average spectrum (estimated on the TRAIN portion only — the held-out
-    tail contributes nothing). The measured synthetic→real gap is largely
-    acoustic-condition mismatch: matching channel statistics is standard
-    domain adaptation, ±12 dB cap, level-preserving."""
+def real_ltas_match(row: np.ndarray,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """EQ a synthetic-English draw toward a real recording's long-term
+    average spectrum. Targets: the supervised recording's TRAIN portion
+    (the held-out tail contributes nothing) plus every other unique real
+    recording on the box (unique_real_audio — unlabeled audio is fair game
+    for channel statistics). One target is drawn per call; the measured
+    synthetic→real gap is largely acoustic-condition mismatch, and
+    matching channel statistics is standard domain adaptation. ±12 dB cap,
+    level-preserving."""
     global _LTAS_REAL
     if _LTAS_REAL is None:
+        targets: List[np.ndarray] = []
         recs = real_recordings()
-        if not recs:
-            _LTAS_REAL = False
-        else:
+        gettysburg_size = None
+        if recs:
             samples, words, cut, _, _ = recs[0]
-            _LTAS_REAL = _smoothed_ltas(samples[: int(cut * SAMPLE_RATE)])
+            targets.append(_smoothed_ltas(samples[: int(cut * SAMPLE_RATE)]))
+        for p in unique_real_audio():
+            if p.name == "gettysburg.wav":
+                continue   # already included (train portion only)
+            try:
+                from ..audio.decode import decode_audio
+                from ..audio.resample import resample
+
+                x, sr = decode_audio(p)
+                if sr != SAMPLE_RATE:
+                    x = resample(x, sr, SAMPLE_RATE)
+                targets.append(_smoothed_ltas(x))
+            except Exception:
+                continue
+        _LTAS_REAL = targets if targets else False
     if _LTAS_REAL is False or len(row) < 2048:
         return row
+    i = 0 if rng is None else int(rng.integers(len(_LTAS_REAL)))
     own = _smoothed_ltas(row)
-    ratio = np.sqrt(_LTAS_REAL / np.maximum(own, 1e-12))
+    ratio = np.sqrt(_LTAS_REAL[i] / np.maximum(own, 1e-12))
     ratio /= max(float(ratio.mean()), 1e-6)   # preserve overall level
     ratio = np.clip(ratio, 10 ** (-12 / 20), 10 ** (12 / 20))
     m = len(row)
@@ -1043,7 +1097,7 @@ class SynthBatcher:
             if (rng is not None and self.real_match_p > 0
                     and ex.get("language") == "English"
                     and rng.random() < self.real_match_p):
-                row = real_ltas_match(row)
+                row = real_ltas_match(row, rng)
             if rng is not None and not self._bake:
                 # per-draw augmentation: gain + additive noise at a random
                 # SNR (examples may come from the clean reuse pool)

@@ -393,3 +393,35 @@ class TestRandomRealWindow:
             for t in tail:
                 assert f" {t} " not in f" {txt} " or t in (
                     w2[2] for w2 in words if w2[1] <= cut)
+
+
+class TestMultiTargetLTAS:
+    def test_unique_real_audio_dedupes(self):
+        from omnilingual_asr_tpu.train.synth import unique_real_audio
+
+        paths = unique_real_audio()
+        if not paths:      # bare CI checkout without the reference assets
+            return
+        names = [p.name for p in paths]
+        assert "gettysburg.wav" in names
+        # the uploads folder holds ~30 copies of 4 recordings; dedupe
+        # must collapse them
+        assert len(paths) <= 6
+
+    def test_ltas_match_samples_targets(self):
+        import numpy as np
+
+        from omnilingual_asr_tpu.train.synth import (
+            real_ltas_match,
+            unique_real_audio,
+        )
+
+        if len(unique_real_audio()) < 2:
+            return
+        rng = np.random.default_rng(0)
+        row = (np.random.default_rng(1)
+               .standard_normal(32000).astype(np.float32) * 0.1)
+        outs = [real_ltas_match(row, rng) for _ in range(6)]
+        assert all(len(o) == len(row) for o in outs)
+        assert any(float(np.abs(outs[0] - o).max()) > 1e-7
+                   for o in outs[1:])
