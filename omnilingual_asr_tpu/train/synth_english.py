@@ -225,6 +225,22 @@ _EXCEPTIONS: Dict[str, str] = {w: p for w, p in (
     ("study", "S T AH D IY"), ("story", "S T AO R IY"),
     ("area", "EH R IY AH"), ("via", "V AY AH"),
     ("said", "S EH D"), ("against", "AH G EH N S T"),
+    ("away", "AH W EY"), ("soldier", "S OW L JH ER"),
+    ("closed", "K L OW Z D"), ("died", "D AY D"), ("dies", "D AY Z"),
+    ("dying", "D AY IH NG"),
+    ("young", "Y AH NG"), ("into", "IH N T UW"),
+    ("spoken", "S P OW K AH N"), ("unknown", "AH N N OW N"),
+    ("forgotten", "F ER G AA T AH N"), ("wear", "W EH R"),
+    ("earn", "ER N"), ("courage", "K ER IH JH"),
+    ("country", "K AH N T R IY"), ("duty", "D UW T IY"),
+    ("holy", "HH OW L IY"), ("promise", "P R AA M IH S"),
+    ("evidence", "EH V IH D AH N S"), ("committee", "K AH M IH T IY"),
+    ("ceremony", "S EH R AH M OW N IY"), ("monument", "M AA N Y AH M AH N T"),
+    ("general", "JH EH N ER AH L"), ("doctor", "D AA K T ER"),
+    ("harbor", "HH AA R B ER"), ("record", "R EH K ER D"),
+    ("built", "B IH L T"), ("rebuilt", "R IY B IH L T"),
+    ("because", "B IH K AH Z"), ("history", "HH IH S T ER IY"),
+    ("generation", "JH EH N ER EY SH AH N"),
     ("certain", "S ER T AH N"), ("mountain", "M AW N T AH N"),
     ("fountain", "F AW N T AH N"), ("captain", "K AE P T AH N"),
     ("course", "K AO R S"), ("four", "F AO R"), ("pour", "P AO R"),
@@ -309,6 +325,7 @@ _RULES: Sequence[Tuple[str, str, str]] = (
     # -- consonant digraphs
     ("th", "TH", ""), ("sh", "SH", ""), ("ch", "CH", ""),
     ("ph", "F", ""), ("wh", "W", ""), ("ck", "K", ""),
+    ("rh", "R", "^"), ("ey", "IY", "$"),
     ("ng", "NG", ""), ("qu", "K W", ""), ("gh", "G", "^"),
     ("gh", "", ""), ("kn", "N", "^"), ("wr", "R", "^"),
     ("mb", "M", "$"), ("gn", "N", "^"),
@@ -317,7 +334,8 @@ _RULES: Sequence[Tuple[str, str, str]] = (
     ("d", "D", ""), ("e", "EH", ""), ("f", "F", ""),
     ("g", "G", ""), ("h", "HH", ""), ("i", "IH", ""),
     ("j", "JH", ""), ("k", "K", ""), ("l", "L", ""),
-    ("m", "M", ""), ("n", "N", ""), ("o", "AA", ""),
+    ("m", "M", ""), ("n", "N", ""),
+    ("o", "OW", "$"), ("o", "AA", ""),
     ("p", "P", ""), ("r", "R", ""), ("s", "S", ""),
     ("t", "T", ""), ("u", "AH", ""), ("v", "V", ""),
     ("w", "W", ""), ("x", "K S", ""), ("y", "Y", "^"),
@@ -334,6 +352,40 @@ def _is_cons(ch: str) -> bool:
     return ch.isalpha() and ch not in _VOWEL_LETTERS
 
 
+#: phones that end voiceless (suffix voicing: walked -> T, named -> D)
+_VOICELESS = frozenset({"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"})
+#: sibilants take the syllabic plural (faces -> IH Z)
+_SIBILANT = frozenset({"S", "Z", "SH", "ZH", "CH", "JH"})
+
+
+def _suffix_stem(w: str) -> Optional[Tuple[str, str]]:
+    """(stem, suffix_kind) for regular inflections, else None. Decomposing
+    lets the stem reuse its exception/rule pronunciation ('walked' =
+    exception 'walk' + T) instead of re-deriving the whole form — the
+    pre-fix rules produced W AE L K T, N AE M EH S, etc."""
+    n = len(w)
+    if n < 4 or not any(c in _VOWEL_LETTERS for c in w[:-1]):
+        return None
+    if w.endswith("ied"):
+        return w[:-3] + "y", "ed"            # carried -> carry + D
+    if w.endswith("ies"):
+        return w[:-3] + "y", "s"             # carries -> carry + Z
+    if w.endswith("ed") and not w.endswith("eed"):
+        stem_b = w[:-1]                      # keeps the e: close(d)
+        if stem_b in _EXCEPTIONS:
+            return stem_b, "ed"
+        if w[:-2] in _EXCEPTIONS:
+            return w[:-2], "ed"              # walk(ed)
+        if (len(stem_b) >= 3 and _is_cons(stem_b[-2])
+                and stem_b[-3] in _VOWEL_LETTERS):
+            return stem_b, "ed"              # magic-e stem: divide(d)
+        return w[:-2], "ed"
+    if (w.endswith("s") and not w.endswith("ss")
+            and not w.endswith("us") and not w.endswith("is")):
+        return w[:-1], "s"                   # names -> name + Z
+    return None
+
+
 def g2p_word(word: str) -> List[Tuple[List[str], int, int]]:
     """word -> [(phones, char_lo, char_hi)] chunks covering every char.
 
@@ -342,6 +394,36 @@ def g2p_word(word: str) -> List[Tuple[List[str], int, int]]:
     w = word.lower()
     if w in _EXCEPTIONS:
         return [(_EXCEPTIONS[w].split(), 0, len(word))]
+    split = _suffix_stem(w) if w.isalpha() else None
+    if split is not None:
+        stem, kind = split
+        chunks = g2p_word(stem)
+        phones = [p for ph, _, _ in chunks for p in ph]
+        if phones:
+            last = phones[-1]
+            if kind == "ed":
+                add = (["AH", "D"] if last in ("T", "D")
+                       else ["T"] if last in _VOICELESS else ["D"])
+            else:
+                add = (["IH", "Z"] if last in _SIBILANT
+                       else ["S"] if last in _VOICELESS else ["Z"])
+            # stem chunks keep their spans clipped to the shared prefix;
+            # the suffix letters carry the appended phones (plus any stem
+            # phones whose chars fell entirely past the shared prefix,
+            # e.g. carried -> stem "carry" whose IY sits on the 'y')
+            shared = min(len(stem), len(w))
+            while shared and stem[shared - 1] != w[shared - 1]:
+                shared -= 1
+            out: List[Tuple[List[str], int, int]] = []
+            pending: List[str] = []
+            for ph, lo, hi in chunks:
+                lo2, hi2 = min(lo, shared), min(hi, shared)
+                if hi2 > lo2:
+                    out.append((list(ph), lo2, hi2))
+                else:
+                    pending.extend(ph)
+            out.append((pending + add, shared, len(w)))
+            return out
     out: List[Tuple[List[str], int, int]] = []
     i, n = 0, len(w)
     while i < n:

@@ -215,3 +215,23 @@ def test_lexicon_includes_bank_words():
     # in-lexicon word: no OOV byte penalties on the way in, completion
     # charged at the boundary with its (small) unigram logp
     assert total > lm.oov_byte_logp * 4
+
+
+def test_inflection_suffix_decomposition():
+    """Regular inflections reuse the stem's pronunciation with the right
+    suffix voicing (the pre-fix rules produced W AE L K T, N AE M EH S)."""
+    cases = {
+        "walked": "W AO K T",       # exception stem + voiceless T
+        "names": "N EY M Z",        # magic-e stem + voiced Z
+        "faces": "F EY S IH Z",     # sibilant stem: syllabic plural
+        "carried": "K AE R IY D",   # -ied -> stem y
+        "planted": "P L AE N T AH D",   # t/d stem: AH D
+        "friends": "F R EH N D Z",
+    }
+    for w, want in cases.items():
+        got = " ".join(p for ph, _, _ in g2p_word(w) for p in ph)
+        assert got == want, (w, got, want)
+        chunks = g2p_word(w)
+        assert chunks[0][1] == 0 and chunks[-1][2] == len(w)
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[2] == b[1]
