@@ -518,7 +518,20 @@ def main():
                          "run (no length restriction)")
     args = ap.parse_args()
 
-    cfg = tiny_config() if args.tiny else PipelineConfig()
+    if args.tiny:
+        cfg = tiny_config()
+    elif args.resume_from:
+        # Resuming: adopt the checkpoint's own config.json dims (it is
+        # self-describing, config.py config_for_checkpoint) — otherwise a
+        # non-default-dims checkpoint silently builds the code-default
+        # model and the load fails on shape mismatch. Explicit --d-model
+        # etc. still override below.
+        from ..config import config_for_checkpoint
+
+        cfg = config_for_checkpoint(args.resume_from)
+        cfg = cfg.replace(checkpoint_path=None)
+    else:
+        cfg = PipelineConfig()
     cfg = cfg.replace(mesh=MeshConfig(data=args.mesh_data,
                                       model=args.mesh_model))
     enc_over = {k: v for k, v in (("d_model", args.d_model),
