@@ -208,6 +208,48 @@ else
   log "stage 5 skipped (past deadline)"
 fi
 
+# --- stage V: x-vector v2 embedder (DER-gated release inclusion) ----------
+# The v1 embedder (0.53 s receptive field) under-separates (in-engine
+# same/diff 0.57/0.84 vs crop's 0.03/0.54); the v2 design (1.25 s RF,
+# models/xvector.py) was committed at 18:21 but never trained — the
+# checkpoints/xvector run predates it (17:47). Ship ONLY if it beats the
+# committed crop DER 0.1715 (inline pooling is then free at serve time).
+if before_deadline; then
+  XV=checkpoints/xvector_v2
+  mkdir -p "$XV"
+  log "stage V: x-vector v2 training"
+  run_watched "$XV/metrics.jsonl" 1500 \
+    python -u -m omnilingual_asr_tpu.train.xvector_train \
+      --steps 4000 --batch-size 64 --eval-every 500 \
+      --ckpt-dir "$XV" --metrics-log "$XV/metrics.jsonl" \
+      > "$XV/train.log" 2>&1
+  log "stage V train rc=$?"
+  if [ -f "$XV/xvector.npz" ]; then
+    log "stage V: DER with x-vector v2 (inline)"
+    OMNIASR_XVECTOR="$XV/xvector.npz" timeout 2400 \
+      python eval_diar.py --ckpt "$TRUNK/asr" --n 16 \
+      > /tmp/diar_xv2.log 2>&1
+    tail -1 /tmp/diar_xv2.log > evals/r3/diar_xvector_v2.json
+    DERXV=$(python - <<'PY'
+import json
+try:
+    print(json.load(open("evals/r3/diar_xvector_v2.json")).get("value", 1.0))
+except Exception:
+    print(1.0)
+PY
+)
+    log "x-vector v2 DER: $DERXV (crop baseline 0.1715)"
+    if python -c "exit(0 if float('$DERXV') < 0.1715 else 1)" 2>/dev/null; then
+      cp "$XV/xvector.npz" checkpoints/release/xvector.npz
+      log "x-vector v2 SHIPPED (DER $DERXV beats crop)"
+    else
+      log "x-vector v2 NOT shipped (DER $DERXV >= crop 0.1715)"
+    fi
+  fi
+else
+  log "stage V skipped (past deadline)"
+fi
+
 # --- stage D: d512 flagship continuation -----------------------------------
 PREV=checkpoints/r3_d512x12_s3/last
 if [ -d "$PREV/asr" ] && before_deadline; then
