@@ -198,7 +198,15 @@ class BigramTrieLM(TrieLM):
                         else 0.0
                     k = self.strength
                     p = (c + k * math.exp(base)) / (ctx + k)
-                    return math.log(max(p, 1e-12)), wid
+                    # Floor the unseen-continuation penalty: the bank's
+                    # bigram mass must not starve held-out vocabulary
+                    # (every content word after a function word would
+                    # otherwise eat log((ctx+k)/k) ≈ 2.5 nats, biasing
+                    # decode toward substituting bank words — the exact
+                    # failure mode on held-out real English).
+                    score = max(math.log(max(p, 1e-12)),
+                                base + math.log(0.25))
+                    return score, wid
                 return base, wid
             return self.oov_byte_logp * depth, -1
         return 0.0, -1   # OOV: bytes charged on the way in
@@ -266,12 +274,14 @@ def synth_lexicon(*, include_real: bool = True,
                 words.extend((w, math.log(1e-4)) for w in uniq if w)
         except Exception:
             pass  # reference assets absent (bare CI checkout)
-        # English sentence-bank vocabulary (train/english_text.py): the
-        # grammatical-English training draws use these words, so the
-        # decode-time prior must too.
-        from ..train.english_text import english_bank_words
+    # English sentence-bank vocabulary (train/english_text.py): the
+    # grammatical-English training draws use these words, so the
+    # decode-time prior must too — and the bigram mode needs them in the
+    # trie regardless of include_real (otherwise zero bigram counts are
+    # collected and it silently degenerates to the unigram).
+    from ..train.english_text import english_bank_words
 
-        words.extend((w, math.log(1e-4)) for w in english_bank_words())
+    words.extend((w, math.log(1e-4)) for w in english_bank_words())
     if bigram:
         from ..train.english_text import SENTENCES
 

@@ -764,7 +764,6 @@ def real_ltas_match(row: np.ndarray,
     if _LTAS_REAL is None:
         targets: List[np.ndarray] = []
         recs = real_recordings()
-        gettysburg_size = None
         if recs:
             samples, words, cut, _, _ = recs[0]
             targets.append(_smoothed_ltas(samples[: int(cut * SAMPLE_RATE)]))

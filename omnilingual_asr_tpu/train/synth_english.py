@@ -418,10 +418,17 @@ def g2p_word(word: str) -> List[Tuple[List[str], int, int]]:
             pending: List[str] = []
             for ph, lo, hi in chunks:
                 lo2, hi2 = min(lo, shared), min(hi, shared)
-                if hi2 > lo2:
-                    out.append((list(ph), lo2, hi2))
-                else:
+                if hi2 <= lo2:
                     pending.extend(ph)
+                elif not ph and out:
+                    # silent letter (magic-e) INSIDE the inflected word:
+                    # fold its chars into the previous phone chunk — an
+                    # empty chunk would render as a word-internal SIL gap
+                    # ("names" -> N EY M <56 ms silence> Z)
+                    pph, plo, _ = out[-1]
+                    out[-1] = (pph, plo, hi2)
+                else:
+                    out.append((list(ph), lo2, hi2))
             out.append((pending + add, shared, len(w)))
             return out
     out: List[Tuple[List[str], int, int]] = []
@@ -748,9 +755,6 @@ def synth_utterance_en(text: str, spk, emotion_prosody, *, seed: int = 0,
                 b_t = VOWELS[DIPHTHONGS[ph][1]][0]
             else:
                 a_t = b_t = own
-            if ph in VOWELS and not stress and ph not in _NO_REDUCE:
-                # reduced vowel: its own (already-schwa-pulled) target
-                a_t = b_t = targets[pi]
             prev_t = targets[pi - 1] if (
                 pi > 0 and plan[pi - 1][0] in _VOICED_SONORANT) else a_t
             next_t = targets[pi + 1] if (

@@ -417,6 +417,12 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 if score < best_wer:
                     best_wer = score
                     save("best")
+                    if ckpt_dir:
+                        # selected-best eval next to the weights: drivers
+                        # read THIS instead of re-deriving the selection
+                        # rule from the (append-mode) metrics log
+                        (Path(ckpt_dir) / "best" / "eval.json").write_text(
+                            json.dumps(rline))
                 save("last")
     finally:
         batcher.close()

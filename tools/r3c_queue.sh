@@ -51,9 +51,15 @@ print(float((x @ x).sum()))
 }
 
 # run_watched <logfile> <stale_s> <cmd...>: kill on stale NON-EMPTY log
-# (first remote compile can take ~25 min with an empty log).
+# (first remote compile can take ~25 min with an empty log). The watched
+# log is rotated first: a non-empty log left by a PREVIOUS run has an old
+# mtime and would trip the staleness kill ~60 s after launch, and stale
+# evals in an append-mode metrics log would poison the promotion gates.
 run_watched() {
   local logfile=$1 stale=$2; shift 2
+  if [ -s "$logfile" ]; then
+    mv "$logfile" "$logfile.$(date +%s).prev"
+  fi
   "$@" &
   local pid=$!
   log "watched pid $pid"
@@ -72,27 +78,22 @@ run_watched() {
   return $?
 }
 
-metrics_best() {  # <log> -> "synth_wer gettysburg_cer" at the transfer-best eval
+metrics_best() {  # <best/eval.json> -> "synth_wer gettysburg_cer" of best/
+  # Reads the selected-best eval the trainer writes NEXT TO the weights
+  # (synth_train save("best")), so the numbers always describe the saved
+  # checkpoint — no re-derivation of the selection rule from logs.
   python - "$1" <<'PY'
 import json, sys, pathlib
-best = (float("inf"), float("inf"))   # (cer if wer<=cap else inf, wer)
-out = (float("inf"), float("inf"))
 p = pathlib.Path(sys.argv[1])
+w = c = float("inf")
 if p.exists():
-    for line in p.read_text().splitlines():
-        try:
-            e = json.loads(line).get("eval", {})
-            w = e.get("synth", {}).get("wer")
-            c = e.get("gettysburg_heldout", {}).get("cer")
-        except Exception:
-            continue
-        if w is None or c is None:
-            continue
-        score = (c if w <= 0.08 else float("inf"), w)
-        if score < best:
-            best = score
-            out = (w, c)
-print(out[0], out[1])
+    try:
+        e = json.loads(p.read_text()).get("eval", {})
+        w = e.get("synth", {}).get("wer", w)
+        c = e.get("gettysburg_heldout", {}).get("cer", c)
+    except Exception:
+        pass
+print(w, c)
 PY
 }
 
@@ -121,7 +122,7 @@ if [ -d "$BASE/asr" ] && before_deadline; then
       --eval-every 500 --ckpt-dir "$ENFT" \
       --metrics-log "$ENFT/metrics.jsonl" > "$ENFT/train.log" 2>&1
   log "stage E rc=$?"
-  read -r ENW ENC <<< "$(metrics_best "$ENFT/metrics.jsonl")"
+  read -r ENW ENC <<< "$(metrics_best "$ENFT/best/eval.json")"
   log "stage E best (transfer-selected): synth WER $ENW, gettysburg CER $ENC"
   if [ -d "$ENFT/best/asr" ] && \
      python -c "exit(0 if float('$ENC') < 0.70 and float('$ENW') <= 0.08 else 1)" 2>/dev/null; then
