@@ -43,7 +43,9 @@ PY
 }
 
 probe() {
-  timeout 90 python -c "
+  # 240 s budget: a cold terminal needs the claim leg + first remote
+  # compile; 90 s can false-negative forever on a free-but-cold pool.
+  timeout 240 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
 print(float((x @ x).sum()))
@@ -101,7 +103,7 @@ PY
 log "probing for TPU claim..."
 until probe; do
   log "TPU still unclaimable; retry in 5 min"
-  sleep 300
+  sleep 180
 done
 log "TPU responsive"
 
