@@ -254,7 +254,10 @@ else
 fi
 
 # --- stage D: d512 flagship continuation -----------------------------------
-PREV=checkpoints/r3_d512x12_s3/last
+# Resume from the BEST d512 state (s1's best, synth WER 0.1086), not the
+# night chain's s3/last (0.2013) — each segmented resume bounced and ended
+# worse; with the device pool one long run replaces the segment chain.
+PREV=checkpoints/r3_d512x12/best
 if [ -d "$PREV/asr" ] && before_deadline; then
   DIR=checkpoints/r3_d512x12_p1
   mkdir -p "$DIR"
@@ -273,6 +276,7 @@ PY
     timeout "$SECS" python -u -m omnilingual_asr_tpu.train.synth_train \
       --steps 14000 --batch-size 64 --lr 5e-4 --warmup-steps 200 \
       --resume-from "$PREV" --aux-ramp-start 1 --aux-ramp-steps 1000 \
+      --english-fraction 0.25 --voice-match 0.5 --english-sentences 0.65 \
       --speed-perturb 0.1 --channel-aug 0.25 --real-match 0.5 \
       --wire mulaw --device-pool 3072 --pool-refresh-every 150 \
       --eval-every 500 --ckpt-dir "$DIR" \
