@@ -282,6 +282,27 @@ PY
       --eval-every 500 --ckpt-dir "$DIR" \
       --metrics-log "$DIR/metrics.jsonl" > "$DIR/train.log" 2>&1
   log "stage D rc=$?"
+  # D2: the d512 becomes the release ONLY if it beats the trunk on BOTH
+  # held-out synth WER and real-recording CER — a bigger rung that is
+  # worse on either metric is evidence, not a product.
+  read -r DW DC <<< "$(metrics_best "$DIR/best/eval.json")"
+  read -r TW TC <<< "$(metrics_best "$TRUNK/eval.json")"
+  # pre-eval.json trunk (d256x4c baseline): committed numbers stand in
+  if [ "$TW" = "inf" ]; then TW=0.0256; TC=0.7727; fi
+  log "stage D2 gate: d512 (WER $DW, CER $DC) vs trunk (WER $TW, CER $TC)"
+  if [ -d "$DIR/best/asr" ] && python -c "
+import sys
+dw, dc, tw, tc = map(float, '''$DW $DC $TW $TC'''.split())
+sys.exit(0 if (dw <= tw and dc <= tc and dw <= 0.08) else 1)
+" 2>/dev/null; then
+    log "stage D2: d512 beats the trunk on both metrics — exporting release"
+    rm -f checkpoints/release/translator.npz checkpoints/release/summarizer.npz
+    JAX_PLATFORMS=cpu python tools/make_release.py --ckpt "$DIR/best" \
+        --out checkpoints/release > /tmp/make_release_d512.log 2>&1
+    log "release: $(ls checkpoints/release)"
+  else
+    log "stage D2: d512 NOT exported (trunk release stands; d512 stays committed evidence)"
+  fi
 else
   log "stage D skipped (no $PREV or past deadline)"
 fi
