@@ -43,7 +43,39 @@ def make_audio(path: Path, seconds: float, sr: int = 16000) -> None:
         w.writeframes(x.tobytes())
 
 
+def _backend_probe(budget_s: float = 300.0) -> bool:
+    """One tiny device op in a SUBPROCESS under a hard timeout. The axon
+    pool claim retry blocks ~25 min when the pool-side lease is orphaned
+    or the terminal is down (observed round 3) — without this guard the
+    bench hangs past the driver's patience and records nothing."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
+        return True   # CPU runs (CI) have no claim leg
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); print(float((x @ x).sum()))"],
+            timeout=budget_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_probe():
+        # Fail FAST with an explanatory line instead of hanging: the
+        # number is not a perf regression, the accelerator was unreachable.
+        print(json.dumps({
+            "metric": "rtf_per_chip", "value": 0, "unit": "x_realtime",
+            "vs_baseline": 0,
+            "error": "TPU backend unreachable (axon pool claim blocked; "
+                     "see NEXT.md operational notes)",
+        }))
+        sys.exit(0)
+
     import jax
 
     # Persistent compile cache: repeat bench invocations skip the ~40 s
