@@ -231,13 +231,22 @@ def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
     else:
         import orbax.checkpoint as ocp
 
+        from .zoo import concrete_restore_template
+
         ckptr = ocp.StandardCheckpointer()
+        # Decide pos-presence from the on-disk metadata, not by catching the
+        # restore error: an exception-driven fallback masked unrelated
+        # failures (e.g. cross-backend sharding) as structure mismatches.
         try:
-            params = ckptr.restore(path, template)
+            has_pos = "pos" in dict(ckptr.metadata(path))
         except Exception:
+            has_pos = True
+        if has_pos:
+            params = dict(ckptr.restore(path, concrete_restore_template(template)))
+        else:
             old = dict(template)
             old.pop("pos")
-            params = dict(ckptr.restore(path, old))
+            params = dict(ckptr.restore(path, concrete_restore_template(old)))
             params["pos"] = pos_zeros
     # jnp leaves, not numpy: the decode scan indexes the embed table
     # with a traced token id, and numpy fancy-indexing on a tracer

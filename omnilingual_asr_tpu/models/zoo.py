@@ -37,6 +37,22 @@ def save_checkpoint(path: str | Path, params) -> None:
     ckptr.wait_until_finished()
 
 
+def concrete_restore_template(template):
+    """Annotate an abstract (``jax.eval_shape``) template with a concrete
+    single-device sharding for Orbax restore.
+
+    Without a sharding on the template leaves, Orbax falls back to the
+    sharding recorded at *save* time, which names devices of the saving
+    backend — a trunk seeded on CPU (``TFRT_CPU_0``) then fails to restore
+    on the TPU backend and vice versa. Pinning the current backend's
+    device 0 makes checkpoints portable across backends.
+    """
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    return jax.tree.map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=sharding),
+        template)
+
+
 def load_checkpoint(path: str | Path, cfg: PipelineConfig):
     """Load a param pytree saved by :func:`save_checkpoint` or
     :func:`save_release`.
@@ -51,7 +67,7 @@ def load_checkpoint(path: str | Path, cfg: PipelineConfig):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    return ckptr.restore(path, concrete_restore_template(template))
 
 
 # ---------------------------------------------------------------------------
