@@ -238,7 +238,9 @@ def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
         # restore error: an exception-driven fallback masked unrelated
         # failures (e.g. cross-backend sharding) as structure mismatches.
         try:
-            has_pos = "pos" in dict(ckptr.metadata(path))
+            meta = ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", meta)
+            has_pos = "pos" in dict(tree)
         except Exception:
             has_pos = True
         if has_pos:

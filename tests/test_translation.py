@@ -125,6 +125,33 @@ class TestLoadedParamsDecode:
         toks2 = greedy_translate(back2, enc, mask, cfg, max_len=4, n_heads=2)
         assert toks2.shape == (1, 4)
 
+    def test_positionless_orbax_checkpoint_gets_zero_pos(self, tmp_path):
+        """Pre-'pos' Orbax checkpoints restore against the positionless
+        template and get a zeros table injected. The pos-presence decision
+        reads the on-disk metadata — the earlier exception-driven fallback
+        masked unrelated restore failures (e.g. cross-backend shardings) as
+        structure mismatches (round-3 session-4 stage-E failure)."""
+        import jax
+        import numpy as np
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.models.translation import (
+            load_translator,
+            save_translator,
+            translator_init,
+        )
+
+        cfg = tiny_config()
+        params = dict(translator_init(jax.random.PRNGKey(1), cfg, 2))
+        old_style = {k: v for k, v in params.items() if k != "pos"}
+        save_translator(tmp_path / "old_ckpt", old_style)
+
+        back = load_translator(tmp_path / "old_ckpt", cfg, n_layers=2)
+        assert set(back) == set(params)
+        assert np.all(np.asarray(back["pos"]) == 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(back["embed"]), np.asarray(params["embed"]))
+
 
 class TestPositionalEncoding:
     """The decoder must know WHERE each history token sits (round-3 root
