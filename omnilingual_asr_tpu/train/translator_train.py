@@ -238,18 +238,26 @@ def train_translator(*, asr_ckpt: str, out_dir: str,
             weight_decay=1e-6))
     opt_state = opt.init(params)
 
-    def loss_fn(p, idx):
-        e = d_enc[idx].astype(jnp.float32)
-        logits = decoder_forward(p, d_inp[idx], e, d_mask[idx], cfg)
+    # The memory bank MUST be a jit argument, not a closure: jit embeds
+    # closed-over concrete arrays as HLO constants, and a ~640 MB constant
+    # in the module body blows the remote-compile tunnel's request-size
+    # limit (HTTP 413, round-3 session-4 stage-1 failure). As arguments the
+    # already-device-resident banks are passed by reference each call.
+    bank = (d_enc, d_mask, d_inp, d_tgt, d_msk)
+
+    def loss_fn(p, bk, idx):
+        b_enc, b_mask, b_inp, b_tgt, b_msk = bk
+        e = b_enc[idx].astype(jnp.float32)
+        logits = decoder_forward(p, b_inp[idx], e, b_mask[idx], cfg)
         logp = jax.nn.log_softmax(logits, axis=-1)
         pick = jnp.take_along_axis(
-            logp, d_tgt[idx][:, :, None], axis=-1)[:, :, 0]
-        m = d_msk[idx].astype(jnp.float32)
+            logp, b_tgt[idx][:, :, None], axis=-1)[:, :, 0]
+        m = b_msk[idx].astype(jnp.float32)
         return -(pick * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     @jax.jit
-    def step(p, s, idx):
-        loss, g = jax.value_and_grad(loss_fn)(p, idx)
+    def step(p, s, bk, idx):
+        loss, g = jax.value_and_grad(loss_fn)(p, bk, idx)
         upd, s = opt.update(g, s, p)
         return optax.apply_updates(p, upd), s, loss
 
@@ -260,7 +268,7 @@ def train_translator(*, asr_ckpt: str, out_dir: str,
     t0 = time.perf_counter()
     for i in range(steps):
         idx = jnp.asarray(rng.integers(0, n_train, batch_size))
-        params, opt_state, loss = step(params, opt_state, idx)
+        params, opt_state, loss = step(params, opt_state, bank, idx)
         if (i + 1) % log_every == 0 or i + 1 == steps:
             line = {"step": i + 1, "ce": round(float(loss), 4),
                     "steps_per_s": round((i + 1) /
