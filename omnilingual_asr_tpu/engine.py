@@ -1088,11 +1088,19 @@ class TranscriptionEngine:
         if self._summarizer is not None:
             # Trained free-text summarizer (reference summaries are free
             # text, gemini_pipeline.py:126-129); template is the fallback.
+            # The generated text replaces the template ONLY when it agrees
+            # with the engine's own computed facts — on out-of-distribution
+            # audio the decoder can emit fluent-but-wrong (or degenerate)
+            # claims, and the template states what the heads actually found.
+            from .models.summarizer import summary_consistent
+
             states = [w["encoder_states"] for w in window_outs
                       if w.get("encoder_states") is not None]
             if states:
                 neural = self._summarizer.summarize(states)
-                if neural:
+                if neural and summary_consistent(
+                        neural, n_speakers=n_speakers,
+                        tone=top_emotion):
                     summary = neural
         return TranscriptionResult(
             summary=summary,

@@ -85,4 +85,54 @@ class SummaryDecoder:
             self.params, enc, mask, self.cfg, max_len=max_len,
             n_heads=self.cfg.encoder.n_heads))
         text = tokens_to_text(toks[0], self.cfg.vocab).strip()
-        return text or None
+        if not text or _degenerate(text):
+            return None
+        return text
+
+
+def _degenerate(text: str) -> bool:
+    """True for decode collapse: digit soup, non-letter noise, or a token
+    repeated in a run (out-of-distribution audio makes the decoder emit
+    strings like "2 speakers talk in 222 2 2222" — observed on real
+    speech; such output must never replace the fact-grounded template)."""
+    letters = sum(c.isalpha() or c.isspace() for c in text)
+    if letters / max(len(text), 1) < 0.8:
+        return True
+    toks = text.lower().split()
+    for a, b, c in zip(toks, toks[1:], toks[2:]):
+        if a == b == c:
+            return True
+    return False
+
+
+_COUNT_WORDS = {1: ("one", "single", "1"), 2: ("two", "2"),
+                3: ("three", "3"), 4: ("four", "4"), 5: ("five", "5")}
+
+
+def summary_consistent(text: str, *, n_speakers: int, tone: str) -> bool:
+    """Does a generated summary agree with the engine's OWN metadata?
+
+    The neural summarizer is trained to state checkable facts (speaker
+    count + overall tone, reference prompt requirement #7,
+    gemini_pipeline.py:210). The engine computes those same facts from its
+    diarization and emotion heads — when the generated text contradicts
+    them, the fact-grounded template is strictly more trustworthy, so the
+    caller falls back (same honesty contract as translation gating)."""
+    from ..types import EMOTIONS
+
+    s = text.lower()
+    mentioned = {e for e in EMOTIONS if e in s}
+    if mentioned != {tone}:
+        return False
+    if n_speakers > 0:
+        words = _COUNT_WORDS.get(n_speakers, (str(n_speakers),))
+        if not any(w in s for w in words):
+            return False
+        # Claiming a DIFFERENT count than the diarizer's is a contradiction
+        # (digit claims only — spelled-out numbers overlap too freely).
+        import re
+
+        for d in re.findall(r"\b(\d+)\b", s):
+            if int(d) != n_speakers:
+                return False
+    return True

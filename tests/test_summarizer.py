@@ -56,6 +56,54 @@ class TestNeuralSummarizer:
         assert out is None or isinstance(out, str)
 
 
+class TestHonestGating:
+    """Neural summaries ship only when sane AND consistent with the
+    engine's own metadata (round-3 session-4: real audio produced
+    '2 speakers talk in 222 2 2222...' which replaced the template)."""
+
+    def test_degenerate_digit_soup_rejected(self):
+        from omnilingual_asr_tpu.models.summarizer import _degenerate
+
+        assert _degenerate("2 speakers talk in 222 2 and 22 2 2222 2 2")
+        assert _degenerate("the the the the the the")
+        assert not _degenerate(
+            "A conversation between 2 speakers in Greek. "
+            "Overall tone: happy.")
+
+    def test_consistent_accepts_matching_facts(self):
+        from omnilingual_asr_tpu.models.summarizer import summary_consistent
+
+        s = "A conversation between 2 speakers in Greek. Overall tone: sad."
+        assert summary_consistent(s, n_speakers=2, tone="sad")
+
+    def test_wrong_speaker_count_rejected(self):
+        from omnilingual_asr_tpu.models.summarizer import summary_consistent
+
+        s = "A conversation between 3 speakers in Greek. Overall tone: sad."
+        assert not summary_consistent(s, n_speakers=2, tone="sad")
+
+    def test_wrong_or_missing_tone_rejected(self):
+        from omnilingual_asr_tpu.models.summarizer import summary_consistent
+
+        s = "A conversation between 2 speakers in Greek. Overall tone: sad."
+        assert not summary_consistent(s, n_speakers=2, tone="happy")
+        assert not summary_consistent(
+            "A conversation between 2 speakers in Greek.",
+            n_speakers=2, tone="sad")
+
+    def test_single_speaker_phrasing_accepted(self):
+        from omnilingual_asr_tpu.models.summarizer import summary_consistent
+
+        s = "A single speaker talks in Thai. Overall tone: neutral."
+        assert summary_consistent(s, n_speakers=1, tone="neutral")
+
+    def test_stray_digit_claim_rejected(self):
+        from omnilingual_asr_tpu.models.summarizer import summary_consistent
+
+        s = "2 speakers talk in Greek and 7 others; the overall tone is sad."
+        assert not summary_consistent(s, n_speakers=2, tone="sad")
+
+
 class TestEngineSummarizerWiring:
     def _wav(self, tmp_path):
         import wave
