@@ -465,9 +465,11 @@ class TranscriptionEngine:
                 topk_lp, topk_ids = jax.lax.top_k(logp, K)
                 ret["ctc_topk_logp"] = topk_lp
                 ret["ctc_topk_ids"] = topk_ids.astype(jnp.int16)
-            if self._translator is not None or self._summarizer is not None:
-                # Encoder states feed the translation/summary decoders; only
-                # pulled to host when one is enabled (12+ MB per batch).
+            if self._states_consumer:
+                # Encoder states feed the audio-conditioned translation /
+                # summary decoders; only pulled to host when one is enabled
+                # (12+ MB per batch). A TEXT-mode translator reads the
+                # transcript instead, so it never forces this D2H.
                 # f16 on the wire; decoders upcast on host
                 ret["encoder_states"] = out["encoder_states"].astype(
                     jnp.float16)
@@ -806,10 +808,10 @@ class TranscriptionEngine:
         sub = cfg.encoder.subsample_factor
         n_real_classes = 1 + cfg.vocab.n_bytes
 
-        # Emit encoder states only when a decoder needs them (translation /
-        # neural summary); they are the one non-frame-compact output.
-        want_states = (self._translator is not None
-                       or self._summarizer is not None)
+        # Emit encoder states only when a decoder needs them (audio-mode
+        # translation / neural summary); they are the one non-frame-compact
+        # output. Text-mode translators read the transcript, not states.
+        want_states = self._states_consumer
 
         @partial(jax.jit, static_argnums=())
         def sp_decode(params, mel, mask, ctc_mask):
@@ -1097,7 +1099,14 @@ class TranscriptionEngine:
             states = [w["encoder_states"] for w in window_outs
                       if w.get("encoder_states") is not None]
             if states:
-                neural = self._summarizer.summarize(states)
+                # Fact-conditioned checkpoints read the engine's own
+                # metadata as a forced decode prefix (summarizer.py);
+                # unconditioned checkpoints ignore `facts`.
+                neural = self._summarizer.summarize(states, facts={
+                    "n_speakers": n_speakers,
+                    "tone": top_emotion,
+                    "language_names": [l["language"]
+                                       for l in all_languages]})
                 if neural and summary_consistent(
                         neural, n_speakers=n_speakers,
                         tone=top_emotion):
@@ -1159,13 +1168,33 @@ class TranscriptionEngine:
     TRANSLATE_SPAN_FRAMES = 256   # ~10 s of encoder frames per segment
     TRANSLATE_MAX_BYTES = 128
 
+    @property
+    def _states_consumer(self) -> bool:
+        """True when a decoder head needs host copies of encoder states:
+        the neural summarizer, or an AUDIO-conditioned translator. A
+        text-mode translator ("src" subtree) reads the transcript."""
+        from .models.translation import is_text_translator
+
+        return (self._summarizer is not None
+                or (self._translator is not None
+                    and not is_text_translator(self._translator)))
+
     def _translate_segments(self, segments: List[TranscriptSegment],
                             seg_meta) -> None:
-        """Fill ``translation`` for non-English segments via the decoder
-        head (prompt requirement #5: translation null iff English,
-        reference gemini_pipeline.py:176-179, 208)."""
-        from .models.translation import greedy_translate, tokens_to_text
+        """Fill ``translation`` for non-English segments (prompt
+        requirement #5: translation null iff English, reference
+        gemini_pipeline.py:176-179, 208).
 
+        Text-mode translators (models/translation.py "src" mode) read each
+        segment's TRANSCRIPT — the same factorization as the reference,
+        whose LLM translates the text it just transcribed. Audio-mode
+        translators cross-attend the segment's encoder states."""
+        from .models.translation import (greedy_translate, is_text_translator,
+                                         tokens_to_text)
+
+        if is_text_translator(self._translator):
+            self._translate_segments_text(segments)
+            return
         todo = [i for i, s in enumerate(segments)
                 if s.language_code and s.language_code != "en"
                 and seg_meta[i][3] is not None]
@@ -1189,6 +1218,56 @@ class TranscriptionEngine:
                 text = tokens_to_text(toks[row], self.config.vocab).strip()
                 if text:
                     segments[i].translation = text
+
+    def _translate_segments_text(
+            self, segments: List[TranscriptSegment]) -> None:
+        """Text-mode translation: segment transcript bytes -> English.
+
+        Long transcripts are split on word boundaries into
+        MAX_SOURCE_LEN-byte spans, translated independently and joined —
+        the lexicon mapping is word-local, so span splits are lossless."""
+        from .models.translation import (MAX_SOURCE_LEN, source_to_tokens,
+                                         tokens_to_text, translate_text)
+
+        todo = [i for i, s in enumerate(segments)
+                if s.language_code and s.language_code != "en"
+                and (s.text or "").strip()]
+        if not todo:
+            return
+
+        def spans(text: str) -> List[str]:
+            words, cur, out = text.split(), [], []
+            n = 0
+            for w in words:
+                wb = len(w.encode("utf-8")) + 1
+                if cur and n + wb > MAX_SOURCE_LEN:
+                    out.append(" ".join(cur))
+                    cur, n = [], 0
+                cur.append(w)
+                n += wb
+            if cur:
+                out.append(" ".join(cur))
+            return out or [""]
+
+        jobs = [(i, sp) for i in todo for sp in spans(segments[i].text)]
+        B = 8
+        results: dict = {}
+        for b0 in range(0, len(jobs), B):
+            batch = jobs[b0:b0 + B]
+            ids = np.zeros((B, MAX_SOURCE_LEN), np.int32)
+            mask = np.zeros((B, MAX_SOURCE_LEN), bool)
+            for row, (_, sp) in enumerate(batch):
+                ids[row], mask[row] = source_to_tokens(sp, self.config.vocab)
+            toks = np.asarray(translate_text(
+                self._translator, jnp.asarray(ids), jnp.asarray(mask),
+                self.config, max_len=self.TRANSLATE_MAX_BYTES,
+                n_heads=self.config.encoder.n_heads))
+            for row, (i, _) in enumerate(batch):
+                text = tokens_to_text(toks[row], self.config.vocab).strip()
+                if text:
+                    results.setdefault(i, []).append(text)
+        for i, parts in results.items():
+            segments[i].translation = " ".join(parts)
 
     def _segment_languages(self, lid_frames: np.ndarray,
                            lid_conf: Optional[np.ndarray],

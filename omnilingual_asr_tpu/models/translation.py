@@ -134,12 +134,19 @@ def decoder_forward(params, tokens, enc, enc_mask, cfg: PipelineConfig,
 
 def greedy_translate(params, enc, enc_mask, cfg: PipelineConfig,
                      max_len: int = MAX_TARGET_LEN, bos_id: int = 0,
-                     n_heads: Optional[int] = None) -> jnp.ndarray:
+                     n_heads: Optional[int] = None,
+                     forced: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Greedy autoregressive decode via lax.scan with a fixed KV cache.
 
     enc: [B, Te, D]; enc_mask: [B, Te]. Returns token ids [B, max_len]
     (0/blank acts as BOS and EOS — decoding stops contributing once EOS is
     emitted; the host strips from the first EOS).
+
+    ``forced`` ([B, max_len] int32, -1 = free) substitutes the given token
+    at each non-negative position instead of the argmax — a forced prefix.
+    The fact-conditioned summarizer force-decodes the engine's own metadata
+    (speaker count / tone / languages) so the generated continuation reads
+    the facts instead of estimating them from pooled audio states.
     """
     if n_heads is None:
         n_heads = cfg.encoder.n_heads  # keep train == inference head split
@@ -158,7 +165,11 @@ def greedy_translate(params, enc, enc_mask, cfg: PipelineConfig,
     v_cache = jnp.zeros((n_layers, B, max_len, hd), jnp.float32)
     tok0 = jnp.full((B,), bos_id, jnp.int32)
 
-    def step(carry, t):
+    if forced is None:
+        forced = jnp.full((B, max_len), -1, jnp.int32)
+
+    def step(carry, scan_in):
+        t, forced_t = scan_in
         tok, kc, vc, done = carry
         x = params["embed"][tok][:, None, :]  # [B, 1, D]
         if "pos" in params:  # keep decode == teacher-forced positions
@@ -185,13 +196,131 @@ def greedy_translate(params, enc, enc_mask, cfg: PipelineConfig,
         logits = L.dense_apply(params["out"], x)[:, 0, :]
         nxt = jnp.argmax(logits[:, : 1 + cfg.vocab.n_bytes], axis=-1)
         nxt = jnp.where(done, 0, nxt).astype(jnp.int32)
-        done = done | (nxt == 0)
+        nxt = jnp.where(forced_t >= 0, forced_t, nxt)
+        done = done | ((nxt == 0) & (forced_t < 0))
         return (nxt, kc, vc, done), nxt
 
     done0 = jnp.zeros((B,), bool)
     (_, _, _, _), toks = jax.lax.scan(
-        step, (tok0, k_cache, v_cache, done0), jnp.arange(max_len))
+        step, (tok0, k_cache, v_cache, done0),
+        (jnp.arange(max_len), forced.T))
     return toks.T  # [B, max_len]
+
+
+# ---------------------------------------------------------------------------
+# Text-conditioned translation ("src" mode)
+# ---------------------------------------------------------------------------
+#
+# The reference translates the TRANSCRIBED TEXT of each non-English segment
+# (its LLM reads the transcript it just produced, gemini_pipeline.py:176-179,
+# 208) — not the raw audio. Conditioning the decoder on encoder states
+# instead forces it to re-solve acoustic recognition, and measured on the
+# synthetic cipher corpus it memorizes the training banks rather than
+# generalizing (round 3: train CE 2e-4, held-out word acc 0.09). Text->text
+# is the reference-faithful factorization: the CTC head owns recognition,
+# and this small byte-level seq2seq owns the (exactly learnable) lexicon
+# mapping. Source text is noised during training with CTC-style byte errors
+# so real transcripts with ~5% CER still translate.
+#
+# A text-mode checkpoint carries a "src" subtree (byte embedding + learned
+# positions + self-attention blocks); its presence is how load_translator
+# and the engine detect the mode.
+
+MAX_SOURCE_LEN = 256  # source bytes per translated span
+
+
+def source_block_init(key, d_model: int):
+    k1, k2 = jax.random.split(key, 2)
+    return {
+        "ln1": L.layernorm_init(d_model),
+        "qkv": L.dense_init(k1, d_model, 3 * d_model, use_bias=False),
+        "o": L.dense_init(k2, d_model, d_model, use_bias=False),
+        "ffn": L.ffn_init(jax.random.fold_in(key, 9), d_model, 4),
+    }
+
+
+def source_block_spec():
+    return {
+        "ln1": L.layernorm_spec(),
+        "qkv": L.dense_spec(None, "model", use_bias=False),
+        "o": L.dense_spec("model", None, use_bias=False),
+        "ffn": L.ffn_spec(),
+    }
+
+
+def text_translator_init(key, cfg: PipelineConfig, n_layers: int = 4,
+                         n_src_layers: int = 2):
+    """Decoder params + a "src" byte encoder subtree (text mode)."""
+    d = cfg.encoder.d_model
+    v = cfg.vocab.vocab_size
+    p = translator_init(key, cfg, n_layers)
+    ks = jax.random.split(jax.random.fold_in(key, 101), n_src_layers + 2)
+    p["src"] = {
+        "embed": jax.random.normal(ks[0], (v, d), jnp.float32) * 0.02,
+        "pos": jax.random.normal(ks[1], (MAX_SOURCE_LEN, d),
+                                 jnp.float32) * 0.02,
+        "blocks": [source_block_init(ks[2 + i], d)
+                   for i in range(n_src_layers)],
+        "ln_out": L.layernorm_init(d),
+    }
+    return p
+
+
+def text_translator_specs(n_layers: int = 4, n_src_layers: int = 2):
+    specs = translator_specs(n_layers)
+    specs["src"] = {
+        "embed": P(None, "model"),
+        "pos": P(None, "model"),
+        "blocks": [source_block_spec() for _ in range(n_src_layers)],
+        "ln_out": L.layernorm_spec(),
+    }
+    return specs
+
+
+def encode_source(params, tokens, mask, cfg: PipelineConfig,
+                  n_heads: Optional[int] = None):
+    """Byte tokens [B, Ts] + mask [B, Ts] -> [B, Ts, D] decoder memory."""
+    if n_heads is None:
+        n_heads = cfg.encoder.n_heads
+    src = params["src"]
+    B, Ts = tokens.shape
+    x = src["embed"][tokens] + src["pos"][:Ts][None, :, :]
+    am = jnp.broadcast_to(mask[:, None, :], (B, Ts, Ts))
+    for blk in src["blocks"]:
+        h = L.layernorm_apply(blk["ln1"], x)
+        qkv = L.dense_apply(blk["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        x = x + L.dense_apply(blk["o"], _attend(q, k, v, am, n_heads))
+        x = L.ffn_apply(blk["ffn"], x, half_step=False)
+    x = L.layernorm_apply(src["ln_out"], x)
+    return x * mask[:, :, None]
+
+
+def translate_text(params, tokens, mask, cfg: PipelineConfig,
+                   max_len: int = MAX_TARGET_LEN,
+                   n_heads: Optional[int] = None) -> jnp.ndarray:
+    """Text-mode greedy decode: encode source bytes, reuse the KV-cache
+    scan of :func:`greedy_translate` with the text memory."""
+    mem = encode_source(params, tokens, mask, cfg, n_heads)
+    return greedy_translate(params, mem, mask, cfg, max_len=max_len,
+                            n_heads=n_heads)
+
+
+def source_to_tokens(text: str, vocab, max_len: int = MAX_SOURCE_LEN):
+    """UTF-8 bytes -> (ids [max_len] int32, mask [max_len] bool)."""
+    import numpy as np
+
+    bs = text.encode("utf-8")[:max_len]
+    ids = np.zeros(max_len, np.int32)
+    mask = np.zeros(max_len, bool)
+    for i, b in enumerate(bs):
+        ids[i] = vocab.byte_to_id(b)
+        mask[i] = True
+    return ids, mask
+
+
+def is_text_translator(params) -> bool:
+    return isinstance(params, dict) and "src" in params
 
 
 def save_translator(path, params) -> None:
@@ -207,11 +336,15 @@ def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
 
     Checkpoints written before the learned positional table ("pos") lack
     that leaf; they restore against the positionless template and get a
-    zeros table injected — which reproduces the old forward exactly."""
+    zeros table injected — which reproduces the old forward exactly.
+    Text-mode checkpoints carry a "src" subtree (text_translator_init) and
+    restore against that template."""
     from pathlib import Path
 
     template = jax.eval_shape(
         lambda: translator_init(jax.random.PRNGKey(0), cfg, n_layers))
+    text_template = jax.eval_shape(
+        lambda: text_translator_init(jax.random.PRNGKey(0), cfg, n_layers))
     pos_zeros = jnp.zeros(template["pos"].shape, template["pos"].dtype)
     path = Path(path).resolve()
     if path.suffix == ".npz":
@@ -221,13 +354,21 @@ def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
 
         with np.load(path) as z:
             has_pos = "['pos']" in z.files  # jax.tree_util.keystr format
-        if not has_pos:
-            old = dict(template)
-            old.pop("pos")
-            params = dict(load_release(path, old))
-            params["pos"] = pos_zeros
+            has_src = any(k.startswith("['src']") for k in z.files)
+            has_fact = "['fact_cond']" in z.files
+        if has_src:
+            tmpl = dict(text_template)
+        elif not has_pos:
+            tmpl = dict(template)
+            tmpl.pop("pos")
         else:
-            params = load_release(path, template)
+            tmpl = dict(template)
+        if has_fact:
+            # fact-conditioned summarizer marker (summarizer.py)
+            tmpl["fact_cond"] = jax.ShapeDtypeStruct((), jnp.float32)
+        params = dict(load_release(path, tmpl))
+        if not has_src and not has_pos:
+            params["pos"] = pos_zeros
     else:
         import orbax.checkpoint as ocp
 
@@ -240,15 +381,23 @@ def load_translator(path, cfg: PipelineConfig, n_layers: int = 4):
         try:
             meta = ckptr.metadata(path)
             tree = getattr(meta, "item_metadata", meta)
-            has_pos = "pos" in dict(tree)
+            keys = dict(tree)
+            has_pos = "pos" in keys
+            has_src = "src" in keys
+            has_fact = "fact_cond" in keys
         except Exception:
-            has_pos = True
-        if has_pos:
-            params = dict(ckptr.restore(path, concrete_restore_template(template)))
+            has_pos, has_src, has_fact = True, False, False
+        if has_src:
+            tmpl = dict(text_template)
+        elif has_pos:
+            tmpl = dict(template)
         else:
-            old = dict(template)
-            old.pop("pos")
-            params = dict(ckptr.restore(path, concrete_restore_template(old)))
+            tmpl = dict(template)
+            tmpl.pop("pos")
+        if has_fact:
+            tmpl["fact_cond"] = jax.ShapeDtypeStruct((), jnp.float32)
+        params = dict(ckptr.restore(path, concrete_restore_template(tmpl)))
+        if not has_src and not has_pos:
             params["pos"] = pos_zeros
     # jnp leaves, not numpy: the decode scan indexes the embed table
     # with a traced token id, and numpy fancy-indexing on a tracer

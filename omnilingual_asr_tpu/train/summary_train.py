@@ -202,7 +202,12 @@ class WindowEncoder:
 # ---------------------------------------------------------------------------
 
 
-def encode_summary(text: str, vocab, max_len: int = MAX_SUMMARY_BYTES):
+def encode_summary(text: str, vocab, max_len: int = MAX_SUMMARY_BYTES,
+                   n_prefix: int = 0):
+    """Teacher-forcing layout; the first ``n_prefix`` target positions (a
+    forced fact prefix, models/summarizer.fact_prefix) are excluded from
+    the loss — they are always FORCED at decode time, so training capacity
+    belongs entirely to the continuation."""
     bs = text.encode("utf-8")[: max_len - 1]
     ids = [vocab.byte_to_id(b) for b in bs]
     inp = np.zeros(max_len, np.int32)          # BOS(0) + ids
@@ -211,6 +216,7 @@ def encode_summary(text: str, vocab, max_len: int = MAX_SUMMARY_BYTES):
     inp[1:1 + len(ids)] = ids
     tgt[:len(ids)] = ids
     msk[:len(ids) + 1] = True                  # include EOS position
+    msk[:n_prefix] = False
     return inp, tgt, msk
 
 
@@ -232,7 +238,8 @@ def train_summarizer(*, asr_ckpt: str, out_dir: str, steps: int = 4000,
                      pool_size: int = 768, n_train: int = 1200,
                      n_eval: int = 96, seed: int = 0,
                      cfg: Optional[PipelineConfig] = None,
-                     log_every: int = 200):
+                     log_every: int = 200, facts_conditioning: bool = True):
+    from ..models.summarizer import fact_prefix, fact_prefix_ids
     from ..models.zoo import load_checkpoint
 
     cfg = cfg or PipelineConfig()
@@ -249,7 +256,15 @@ def train_summarizer(*, asr_ckpt: str, out_dir: str, steps: int = 4000,
     for i in range(n_train + n_eval):
         samples, facts = make_conversation(rng, pool)
         mem, n_win = enc.encode(samples)
-        inp, tgt, msk = encode_summary(summary_text(rng, facts), cfg.vocab)
+        text = summary_text(rng, facts)
+        n_prefix = 0
+        if facts_conditioning:
+            pfx = fact_prefix(n_speakers=facts["n_speakers"],
+                              tone=facts["tone"],
+                              language_names=facts["languages"])
+            n_prefix = len(pfx.encode("utf-8"))
+            text = pfx + text
+        inp, tgt, msk = encode_summary(text, cfg.vocab, n_prefix=n_prefix)
         mems.append(mem)
         nvs.append(n_win)
         inps.append(inp)
@@ -305,10 +320,23 @@ def train_summarizer(*, asr_ckpt: str, out_dir: str, steps: int = 4000,
     hyps = []
     for i in range(n_train, n_train + n_eval):
         enc_mask = jnp.arange(POOL_SLOTS)[None, :] < nvs[i]
+        forced = None
+        n_prefix = 0
+        if facts_conditioning:
+            # Decode exactly as the engine will: facts forced as a prefix,
+            # score only the generated continuation.
+            f = facts_all[i]
+            pfx_ids = fact_prefix_ids(cfg.vocab, n_speakers=f["n_speakers"],
+                                      tone=f["tone"],
+                                      language_names=f["languages"])
+            n_prefix = len(pfx_ids)
+            fa = np.full((1, MAX_SUMMARY_BYTES), -1, np.int32)
+            fa[0, :n_prefix] = pfx_ids
+            forced = jnp.asarray(fa)
         toks = np.asarray(greedy_translate(
             dec, jnp.asarray(mems[i])[None], enc_mask, cfg,
-            max_len=MAX_SUMMARY_BYTES, n_heads=n_heads))
-        hyp = tokens_to_text(toks[0], cfg.vocab).strip()
+            max_len=MAX_SUMMARY_BYTES, n_heads=n_heads, forced=forced))
+        hyp = tokens_to_text(toks[0, n_prefix:], cfg.vocab).strip()
         hyps.append(hyp)
         scores.append(facts_score(hyp, facts_all[i]))
     agg = {k: round(float(np.mean([s[k] for s in scores])), 4)
@@ -318,7 +346,13 @@ def train_summarizer(*, asr_ckpt: str, out_dir: str, steps: int = 4000,
     for h in hyps[:5]:
         print("  e.g.", h, flush=True)
 
-    save_translator(Path(out_dir), jax.device_get(dec))
+    dec = jax.device_get(dec)
+    if facts_conditioning:
+        # Marker leaf: tells SummaryDecoder/load_translator this checkpoint
+        # expects the forced fact prefix (models/summarizer.fact_conditioned).
+        dec = dict(dec)
+        dec["fact_cond"] = np.ones((), np.float32)
+    save_translator(Path(out_dir), dec)
     print(f"saved summarizer -> {out_dir}", flush=True)
     return agg
 
@@ -334,6 +368,9 @@ def main():
     ap.add_argument("--n-train", type=int, default=1200)
     ap.add_argument("--n-eval", type=int, default=96)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-facts", action="store_true",
+                    help="train WITHOUT fact-prefix conditioning "
+                         "(pre-round-3 behavior)")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
     from ..config import config_for_checkpoint
@@ -343,7 +380,8 @@ def main():
     train_summarizer(asr_ckpt=args.ckpt, out_dir=args.out, steps=args.steps,
                      batch_size=args.batch_size, lr=args.lr,
                      pool_size=args.pool_size, n_train=args.n_train,
-                     n_eval=args.n_eval, seed=args.seed, cfg=cfg)
+                     n_eval=args.n_eval, seed=args.seed, cfg=cfg,
+                     facts_conditioning=not args.no_facts)
 
 
 if __name__ == "__main__":
