@@ -1249,23 +1249,33 @@ class TranscriptionEngine:
                 out.append(" ".join(cur))
             return out or [""]
 
+        # Memoize by span text: a 9.5 h file yields thousands of segments
+        # and repeated short spans translate identically; each cache hit
+        # saves a slot in the (sequential, 128-step) decode scan.
         jobs = [(i, sp) for i in todo for sp in spans(segments[i].text)]
-        B = 8
-        results: dict = {}
-        for b0 in range(0, len(jobs), B):
-            batch = jobs[b0:b0 + B]
+        memo: dict = {}
+        unique = sorted({sp for _, sp in jobs})
+        # B=128 amortizes the scan's sequential latency across segments
+        # (the scan runs its 128 steps regardless of batch width).
+        B = 128
+        for b0 in range(0, len(unique), B):
+            batch = unique[b0:b0 + B]
             ids = np.zeros((B, MAX_SOURCE_LEN), np.int32)
             mask = np.zeros((B, MAX_SOURCE_LEN), bool)
-            for row, (_, sp) in enumerate(batch):
+            for row, sp in enumerate(batch):
                 ids[row], mask[row] = source_to_tokens(sp, self.config.vocab)
             toks = np.asarray(translate_text(
                 self._translator, jnp.asarray(ids), jnp.asarray(mask),
                 self.config, max_len=self.TRANSLATE_MAX_BYTES,
                 n_heads=self.config.encoder.n_heads))
-            for row, (i, _) in enumerate(batch):
-                text = tokens_to_text(toks[row], self.config.vocab).strip()
-                if text:
-                    results.setdefault(i, []).append(text)
+            for row, sp in enumerate(batch):
+                memo[sp] = tokens_to_text(toks[row],
+                                          self.config.vocab).strip()
+        results: dict = {}
+        for i, sp in jobs:
+            text = memo.get(sp, "")
+            if text:
+                results.setdefault(i, []).append(text)
         for i, parts in results.items():
             segments[i].translation = " ".join(parts)
 

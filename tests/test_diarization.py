@@ -60,3 +60,51 @@ class TestAHC:
         x = rng.standard_normal((3, 4))
         labels = ahc_labels(x, n_clusters=10)
         assert len(set(labels.tolist())) == 3
+
+
+class TestAHCScipyPath:
+    """n > 64 routes through scipy's C linkage (the numpy merge loop was
+    measured at ~15 min for the 9.5 h envelope's 7,373 segments). The two
+    paths must agree."""
+
+    def _clustered(self, rng, n, k, d=16, spread=0.05):
+        centers = rng.standard_normal((k, d)) * 3
+        who = rng.integers(0, k, n)
+        return (centers[who] + spread * rng.standard_normal((n, d))
+                ).astype(np.float32), who
+
+    def test_scipy_matches_numpy_loop(self, rng):
+        from omnilingual_asr_tpu.diarization.cluster import (_ahc_labels_scipy,
+                                                             ahc_labels)
+
+        x, _ = self._clustered(rng, 60, 3)  # n<=64: public API = numpy loop
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+        a = ahc_labels(x, threshold=0.4)
+        b = _ahc_labels_scipy(xn, None, 0.4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_scipy_matches_numpy_with_k_hint(self, rng):
+        from omnilingual_asr_tpu.diarization.cluster import (_ahc_labels_scipy,
+                                                             ahc_labels)
+
+        x, _ = self._clustered(rng, 50, 4)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+        a = ahc_labels(x, n_clusters=4)
+        b = _ahc_labels_scipy(xn, 4, 0.0)
+        np.testing.assert_array_equal(a, b)
+
+    def test_large_n_recovers_clusters_fast(self, rng):
+        import time
+
+        from omnilingual_asr_tpu.diarization.cluster import ahc_labels
+
+        x, who = self._clustered(rng, 2000, 3)
+        t0 = time.perf_counter()
+        labels = ahc_labels(x, threshold=0.4)
+        took = time.perf_counter() - t0
+        assert took < 30.0  # the numpy loop takes minutes at this n
+        assert len(np.unique(labels)) == 3
+        # Perfect recovery on well-separated synthetic clusters: every
+        # reference cluster maps to exactly one hypothesis label.
+        for r in range(3):
+            assert len(np.unique(labels[who == r])) == 1
