@@ -42,4 +42,7 @@ done
 # env or checkpoints/release); it measures wall/RTF, not quality.
 # The 9.5 h run is the reference's max-file-length envelope (SURVEY §6).
 run long  eval_long.py  --hours 9.5
+# Interactive serving figure (BASELINE.json "RTF at batch=1"): one 30 s
+# window alone through the flagship config.
+run latency eval_latency.py
 echo "reports in $OUT"
