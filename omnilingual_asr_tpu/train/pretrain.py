@@ -136,15 +136,29 @@ def pretrain_loss(params, quantizer, batch, key, cfg: PipelineConfig,
 
 def make_pretrain_step(cfg: PipelineConfig, mesh: Mesh,
                        pcfg: PretrainConfig = PretrainConfig(),
-                       tx: optax.GradientTransformation = None):
+                       tx: optax.GradientTransformation = None,
+                       from_samples: bool = False):
+    """from_samples=True: the batch carries a raw sample wire (int16 or
+    μ-law uint8, like the supervised path) and the fused log-mel frontend
+    runs inside the step's jit — same H2D-byte discipline as
+    make_train_step (the tunnel link is the training bottleneck)."""
     tx = tx or make_optimizer(lr=2e-3)
     pspecs = pretrain_param_specs(cfg)
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                             is_leaf=lambda x: isinstance(x, P))
-    batch_sh = {
-        "mel": NamedSharding(mesh, P("data", None, None)),
-        "mask": NamedSharding(mesh, P("data", None)),
-    }
+    if from_samples:
+        batch_sh = {
+            "samples": NamedSharding(mesh, P("data", None)),
+            "mask": NamedSharding(mesh, P("data", None)),
+        }
+        from ..ops.mel_pallas import MelFrontend
+
+        frontend = MelFrontend(cfg.frontend)
+    else:
+        batch_sh = {
+            "mel": NamedSharding(mesh, P("data", None, None)),
+            "mask": NamedSharding(mesh, P("data", None)),
+        }
 
     def init_state(seed: int = 0):
         params = pretrain_init(jax.random.PRNGKey(seed), cfg, pcfg)
@@ -156,6 +170,10 @@ def make_pretrain_step(cfg: PipelineConfig, mesh: Mesh,
     @partial(jax.jit, donate_argnums=(0, 2),
              in_shardings=(param_sh, None, None, batch_sh, None))
     def pretrain_step(params, quantizer, opt_state, batch, step):
+        if from_samples:
+            from .step import _mel_from_samples
+
+            batch = _mel_from_samples(batch, cfg, frontend)
         key = jax.random.fold_in(jax.random.PRNGKey(0), step)
         (_, metrics), grads = jax.value_and_grad(
             pretrain_loss, has_aux=True)(params, quantizer, batch, key,

@@ -33,6 +33,57 @@ from .step import make_optimizer, make_train_step
 from .synth import SynthBatcher, eval_set, real_corpus
 
 
+def save_train_state(path: Path, opt_state, step: int,
+                     best_score: float) -> None:
+    """Persist the FULL training state (optimizer moments + schedule count
+    + step + selection score) next to the param checkpoint, atomically.
+
+    Segmented runs on the tunnel (TRAINING_NOTES.md: wedges force ≤1500-step
+    segments) previously resumed params only, so every segment restarted
+    Adam's moments and the lr schedule from zero — the measured "post-resume
+    bounce" that kept the d512×12 rung from ever reaching d256 quality.
+    The optimizer pytree is flattened positionally (same optimizer chain on
+    both sides, shape-checked on restore)."""
+    import io
+
+    leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+    flat = {f"l{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
+    flat["__step__"] = np.asarray(int(step), np.int64)
+    flat["__best__"] = np.asarray(float(best_score), np.float64)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.parent / (path.name + ".tmp")
+    tmp.write_bytes(buf.getvalue())
+    tmp.replace(path)   # atomic: a watchdog kill mid-save cannot corrupt
+
+
+def load_train_state(path: Path, opt_state_template):
+    """Restore (opt_state, step, best_score) saved by save_train_state.
+
+    The template (a freshly initialized opt_state with the same optimizer
+    chain and param tree) supplies structure, dtypes and shardings; leaves
+    are matched positionally and shape-checked."""
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    n_saved = sum(1 for k in data if k.startswith("l"))
+    if n_saved != len(leaves):
+        raise ValueError(
+            f"{path}: {n_saved} saved leaves vs {len(leaves)} in the "
+            "optimizer template (different optimizer chain or model dims)")
+    new = []
+    for i, leaf in enumerate(leaves):
+        arr = data[f"l{i:05d}"]
+        if tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"{path}: leaf {i} has shape {arr.shape}, template expects "
+                f"{tuple(leaf.shape)}")
+        new.append(jax.device_put(arr.astype(leaf.dtype), leaf.sharding))
+    return (jax.tree_util.tree_unflatten(treedef, new),
+            int(data["__step__"]), float(data["__best__"]))
+
+
 def _ids_to_text(frame_ids: np.ndarray, vocab) -> str:
     units = collapse_ctc(frame_ids, blank_id=vocab.blank_id)
     byte_vals = [vocab.id_to_byte(u.byte_id) for u in units]
@@ -124,6 +175,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 eval_every: int = 1000, seed: int = 0,
                 warmup_steps: int = 1000,
                 resume_from: Optional[str] = None,
+                total_steps: int = 0, resume_opt: bool = True,
+                init_encoder: Optional[str] = None,
                 metrics_log: Optional[str] = None,
                 pallas_kernels: bool = False,
                 stage1_steps: int = 0, stage2_steps: int = 0,
@@ -239,9 +292,13 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         return {"w_spk": 1.0, "w_trans": 1.0, "w_aug": 1.0,
                 "w_fce": w_fce, "w_ctc": w_ctc}
 
+    # Schedule horizon: with --total-steps the cosine spans the WHOLE
+    # segmented run (each segment passes the same total and resumes the
+    # schedule mid-curve via the restored optimizer count); otherwise it
+    # completes at this invocation's end as before.
+    horizon = max(total_steps or steps, warmup_steps + 1)
     tx = make_optimizer(lr=lr, warmup_steps=warmup_steps,
-                        # cosine completes at the run's end
-                        decay_steps=max(steps, warmup_steps + 1))
+                        decay_steps=horizon)
     # milder than the ASR default: synthetic units are short (one char
     # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
     # words of supervision
@@ -280,6 +337,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
             augment=aug_cfg)
     state = init_state(seed=seed)
     params, opt_state, step = state.params, state.opt_state, state.step
+    start_step = 0
+    best_wer = float("inf")
     if resume_from:
         from ..models.translation import load_translator
         from ..models.zoo import load_checkpoint
@@ -290,10 +349,33 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
             {"asr": asr, "translator": trans},
             jax.tree.map(lambda x: x.sharding, params))
         print(f"resumed params from {resume_from}", flush=True)
+        ts_path = Path(resume_from) / "train_state.npz"
+        if resume_opt and ts_path.exists():
+            try:
+                opt_state, start_step, best_wer = load_train_state(
+                    ts_path, opt_state)
+                step = jnp.asarray(start_step, jnp.int32)
+                print(f"resumed optimizer/schedule from {ts_path} "
+                      f"(step {start_step}, best {best_wer:.4f})",
+                      flush=True)
+            except Exception as e:   # params-only fallback (old checkpoints)
+                print(f"train_state restore failed ({e}); optimizer "
+                      "restarts (params-only resume)", flush=True)
+    elif init_encoder:
+        # Warm start the trunk from a BEST-RQ pretrain checkpoint
+        # (train/pretrain.py): same asr_init tree, translator stays fresh.
+        from ..models.zoo import load_checkpoint
+
+        enc = load_checkpoint(Path(init_encoder), cfg)
+        params = {
+            "asr": jax.device_put(
+                enc, jax.tree.map(lambda x: x.sharding, params["asr"])),
+            "translator": params["translator"],
+        }
+        print(f"encoder warm-started from {init_encoder}", flush=True)
 
     evaluator = Evaluator(cfg, window_seconds=window_seconds,
                           frame_multiple=frame_multiple)
-    best_wer = float("inf")
     mlog = open(metrics_log, "a") if metrics_log else None
 
     def save(tag: str):
@@ -313,9 +395,15 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
 
     t0 = time.perf_counter()
     audio_s = 0.0
+    # i is the GLOBAL step: curricula/ramps/eval cadence are positions in
+    # the whole (possibly segmented) run, so a resumed segment passes the
+    # same flags and continues the schedule instead of replaying it.
+    end_step = start_step + steps
+    if total_steps:
+        end_step = min(end_step, total_steps)
     try:
         batch_iter = None if use_pool else iter(batcher)
-        for i in range(steps):
+        for i in range(start_step, end_step):
             batch = None if use_pool else next(batch_iter)
             if pool_boundaries and i == pool_boundaries[0]:
                 pool_boundaries.pop(0)
@@ -388,13 +476,13 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 line = {"step": i + 1, **m,
-                        "steps_per_s": round((i + 1) / dt, 2),
+                        "steps_per_s": round((i + 1 - start_step) / dt, 2),
                         "audio_h": round(audio_s / 3600, 2)}
                 print(json.dumps(line), flush=True)
                 if mlog:
                     mlog.write(json.dumps(line) + "\n")
                     mlog.flush()
-            if (i + 1) % eval_every == 0 or i + 1 == steps:
+            if (i + 1) % eval_every == 0 or i + 1 == end_step:
                 host = jax.device_get(params)
                 report = evaluator.run(host["asr"])
                 rline = {"step": i + 1, "eval": {
@@ -424,6 +512,10 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                         (Path(ckpt_dir) / "best" / "eval.json").write_text(
                             json.dumps(rline))
                 save("last")
+                if ckpt_dir:
+                    save_train_state(
+                        Path(ckpt_dir) / "last" / "train_state.npz",
+                        opt_state, i + 1, best_wer)
     finally:
         batcher.close()
         if mlog:
@@ -445,6 +537,19 @@ def main():
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--total-steps", type=int, default=0,
+                    help="GLOBAL schedule horizon for segmented runs: the "
+                         "lr cosine spans this many steps, --steps bounds "
+                         "only this invocation, and the restored optimizer "
+                         "count resumes the schedule mid-curve. 0 = this "
+                         "invocation is the whole run (legacy)")
+    ap.add_argument("--no-resume-opt", action="store_true",
+                    help="resume params only, ignoring train_state.npz "
+                         "(fresh optimizer — the pre-round-4 behavior)")
+    ap.add_argument("--init-encoder", default=None,
+                    help="warm-start the trunk from a BEST-RQ pretrain "
+                         "checkpoint dir (train/pretrain.py --ckpt-dir's "
+                         "asr/ subdir); ignored with --resume-from")
     ap.add_argument("--metrics-log", default=None)
     ap.add_argument("--pallas-kernels", action="store_true",
                     help="train through the flash-attention + fused-conv "
@@ -554,6 +659,9 @@ def main():
                 ckpt_dir=args.ckpt_dir, eval_every=args.eval_every,
                 seed=args.seed, warmup_steps=args.warmup_steps,
                 resume_from=args.resume_from, metrics_log=args.metrics_log,
+                total_steps=args.total_steps,
+                resume_opt=not args.no_resume_opt,
+                init_encoder=args.init_encoder,
                 pallas_kernels=args.pallas_kernels,
                 stage1_steps=args.stage1_steps,
                 stage2_steps=args.stage2_steps,

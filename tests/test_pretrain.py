@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from omnilingual_asr_tpu.config import MeshConfig, tiny_config
 from omnilingual_asr_tpu.parallel.mesh import build_mesh
@@ -85,3 +86,40 @@ class TestPretrainStep:
         pre = pretrain_init(jax.random.PRNGKey(0), cfg, PCFG)
         sup = asr_init(jax.random.PRNGKey(1), cfg)
         assert jax.tree.structure(pre["encoder"]) == jax.tree.structure(sup)
+
+
+class TestPretrainCLI:
+    def test_real_crop_sampler_draws(self):
+        """Real-audio crops: every unique bundled recording is usable,
+        crops are window-sized, finite, and gettysburg's held-out tail is
+        excluded from the sampled material."""
+        from omnilingual_asr_tpu.train.pretrain_cli import RealCropSampler
+
+        s = RealCropSampler(window_samples=16000, seed=0)
+        if not s:
+            pytest.skip("no real recordings on this box")
+        assert len(s.recs) >= 1
+        for _ in range(4):
+            crop, n = s.draw()
+            assert crop.shape == (16000,)
+            assert 0 < n <= 16000
+            assert np.isfinite(crop).all()
+            assert np.abs(crop).max() <= 1.0 + 1e-6
+
+    @pytest.mark.slow
+    def test_pretrain_main_tiny_runs_and_saves(self, tmp_path):
+        from omnilingual_asr_tpu.config import MeshConfig, tiny_config
+        from omnilingual_asr_tpu.train.pretrain_cli import pretrain_main
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=1))
+        ck = tmp_path / "bestrq"
+        pretrain_main(steps=2, batch_size=2, cfg=cfg, window_seconds=1.0,
+                      real_fraction=0.5, ckpt_dir=str(ck), save_every=2,
+                      warmup_steps=1)
+        assert (ck / "last" / "asr").exists()
+        assert (ck / "last" / "train_state.npz").exists()
+        # the saved encoder warm-starts supervised training
+        from omnilingual_asr_tpu.models.zoo import load_checkpoint
+
+        enc = load_checkpoint(ck / "last" / "asr", cfg)
+        assert enc is not None

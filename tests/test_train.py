@@ -271,3 +271,82 @@ class TestNaNRobustness:
 
             params = optax.apply_updates(params, upd)
             assert bool(jnp.isfinite(params["w"]).all()), (bad, params)
+
+
+class TestTrainStateResume:
+    """Full train-state checkpointing (round-4): segmented runs must resume
+    the optimizer moments and lr-schedule position, not just params — the
+    measured 'post-resume bounce' cost the d512 rung its quality."""
+
+    def test_train_state_roundtrip(self, manifest, tmp_path):
+        from omnilingual_asr_tpu.train.synth_train import (
+            load_train_state, save_train_state)
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=1))
+        mesh = build_mesh(cfg.mesh)
+        init_state, train_step = make_train_step(
+            cfg, mesh, tx=make_optimizer(lr=3e-3, warmup_steps=1),
+            from_samples=True)
+        state = init_state(seed=0)
+        loader = BatchLoader(manifest, cfg, batch_size=2,
+                             window_seconds=1.0, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+        loader.close()
+        params, opt_state, step, _ = train_step(
+            state.params, state.opt_state, batch, state.step)
+        want = [np.asarray(x) for x in jax.tree.leaves(
+            jax.device_get(opt_state))]
+        p = tmp_path / "train_state.npz"
+        save_train_state(p, opt_state, 17, 0.123)
+        template = init_state(seed=1).opt_state   # fresh moments, same tree
+        restored, got_step, got_best = load_train_state(p, template)
+        assert got_step == 17 and abs(got_best - 0.123) < 1e-9
+        got = [np.asarray(x) for x in jax.tree.leaves(
+            jax.device_get(restored))]
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+
+    def test_train_state_rejects_mismatched_model(self, manifest, tmp_path):
+        import dataclasses as dc
+
+        from omnilingual_asr_tpu.train.synth_train import (
+            load_train_state, save_train_state)
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=1))
+        mesh = build_mesh(cfg.mesh)
+        init_state, _ = make_train_step(
+            cfg, mesh, tx=make_optimizer(lr=3e-3, warmup_steps=1),
+            from_samples=True)
+        p = tmp_path / "train_state.npz"
+        save_train_state(p, init_state(seed=0).opt_state, 5, 1.0)
+        cfg2 = cfg.replace(encoder=dc.replace(cfg.encoder,
+                                              d_model=cfg.encoder.d_model * 2))
+        init2, _ = make_train_step(
+            cfg2, mesh, tx=make_optimizer(lr=3e-3, warmup_steps=1),
+            from_samples=True)
+        with pytest.raises(ValueError):
+            load_train_state(p, init2(seed=0).opt_state)
+
+    @pytest.mark.slow
+    def test_segmented_run_resumes_step_and_schedule(self, tmp_path):
+        """Two 2-step segments with --total-steps 4 behave as one 4-step
+        run: the second segment starts at global step 2 and train_state
+        records step 4 at the end."""
+        from omnilingual_asr_tpu.train.synth_train import train_synth
+
+        cfg = tiny_config().replace(mesh=MeshConfig(data=1, model=1))
+        ck = tmp_path / "seg"
+        train_synth(steps=2, batch_size=2, cfg=cfg, window_seconds=1.0,
+                    ckpt_dir=str(ck), eval_every=2, total_steps=4,
+                    warmup_steps=1, lr=1e-3)
+        ts = ck / "last" / "train_state.npz"
+        assert ts.exists()
+        with np.load(ts) as z:
+            assert int(z["__step__"]) == 2
+        train_synth(steps=2, batch_size=2, cfg=cfg, window_seconds=1.0,
+                    ckpt_dir=str(ck), eval_every=2, total_steps=4,
+                    warmup_steps=1, lr=1e-3,
+                    resume_from=str(ck / "last"))
+        with np.load(ts) as z:
+            assert int(z["__step__"]) == 4
