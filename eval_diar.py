@@ -59,6 +59,10 @@ def main():
                          "sweep the operating point (each trunk separates "
                          "embeddings differently — the default cut was "
                          "tuned on the r3 d256x4c trunk)")
+    ap.add_argument("--count-mode", default=None,
+                    choices=["threshold", "eigengap"],
+                    help="speaker-count stopping rule override "
+                         "(DecodeConfig.count_mode)")
     args = ap.parse_args()
 
     import os
@@ -89,9 +93,14 @@ def main():
         import dataclasses
 
         c = cfg
+        dec_over = {}
         if threshold is not None:
+            dec_over["ahc_threshold"] = threshold
+        if args.count_mode:
+            dec_over["count_mode"] = args.count_mode
+        if dec_over:
             c = cfg.replace(decode=dataclasses.replace(
-                cfg.decode, ahc_threshold=threshold))
+                cfg.decode, **dec_over))
         engine = TranscriptionEngine(config=c, batch_windows_per_device=4)
         rng = np.random.default_rng(args.seed)
         ders = []
@@ -121,9 +130,13 @@ def main():
     ths = ([float(t) for t in args.th.split(",")] if args.th else [None])
     runs = [(th, *run_battery(th)) for th in ths]
     best_th, best_der, best_details = min(runs, key=lambda r: r[1])
+    count_acc = float(np.mean([d["n_spk_ref"] == d["n_spk_hyp"]
+                               for d in best_details]))
     report = {
         "metric": "der",
         "value": round(best_der, 4),
+        "speaker_count_acc": round(count_acc, 4),
+        "count_mode": args.count_mode or "threshold",
         "n_conversations": args.n,
         "ckpt": args.ckpt,
         "details": best_details,

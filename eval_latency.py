@@ -41,11 +41,16 @@ def main() -> None:
     # Same model-identity pinning as bench.py: the latency row is the
     # flagship config regardless of which release from_env() discovers.
     cfg = tiny_config() if args.tiny else PipelineConfig.from_env()
+    weights = "release" if cfg.checkpoint_path else "random"
     if not args.tiny:
         flagship = PipelineConfig()
         if (cfg.encoder.d_model, cfg.encoder.n_layers) != (
                 flagship.encoder.d_model, flagship.encoder.n_layers):
+            # Wall-clock-only measurement: random-init flagship has the
+            # identical FLOPs/bytes as a trained one (ADVICE r3: record
+            # the provenance instead of silently timing random weights).
             cfg = flagship
+            weights = "random"
     engine = TranscriptionEngine(config=cfg, batch_windows_per_device=1)
 
     wav = Path("/tmp/omniasr_lat.wav")
@@ -70,6 +75,7 @@ def main() -> None:
         "rtf_batch1": round(args.seconds / med, 1),
         "model": {"d_model": cfg.encoder.d_model,
                   "n_layers": cfg.encoder.n_layers},
+        "weights": weights,
         "reps": args.reps,
     }))
 

@@ -161,6 +161,13 @@ class DecodeConfig:
     #                                   embedding mode (crop embeddings
     #                                   separate much more cleanly than
     #                                   in-context ones, so the cut differs)
+    count_mode: str = "threshold"     # speaker-count stopping rule when no
+    #                                   user hint is given: "threshold" =
+    #                                   merge while closest pair < cut;
+    #                                   "eigengap" = spectral count estimate
+    #                                   pins the dendrogram cut
+    #                                   (diarization/cluster.py
+    #                                   estimate_n_speakers)
 
 
 @dataclass(frozen=True)

@@ -125,3 +125,58 @@ def speaker_names(labels: np.ndarray) -> List[str]:
     """Map first-appearance labels to 'Speaker N' strings (default speaker
     naming, reference gemini_pipeline.py:435)."""
     return [f"Speaker {int(l) + 1}" for l in labels]
+
+
+def estimate_n_speakers(embeds: np.ndarray, max_k: int = 8,
+                        top_frac: float = 0.4) -> Optional[int]:
+    """Spectral eigengap speaker-count estimation (round-4, VERDICT r3 #5).
+
+    Threshold-stopped AHC gets the speaker COUNT wrong on 6/16 eval
+    conversations (e.g. ref 4 -> hyp 2, DER 0.437) because one global merge
+    cut cannot fit every conversation's embedding geometry. The standard
+    fix (spectral clustering literature: Wang et al. 2018, NME-SC) reads
+    the count from the affinity spectrum instead:
+
+    1. cosine affinity, per-row sparsification (keep the top ``top_frac``
+       entries, zero the rest — prunes weak cross-speaker links),
+    2. symmetrize, normalized Laplacian L = I - D^-1/2 A D^-1/2,
+    3. k* = argmax of the eigengap among the smallest ``max_k`` eigenvalues
+       (k tight clusters -> k near-zero eigenvalues, then a jump).
+
+    Returns None when there are too few segments to read a spectrum
+    (n < 4) — callers fall back to threshold stopping.
+    """
+    n = len(embeds)
+    if n < 4:
+        return None
+    x = embeds / np.maximum(
+        np.linalg.norm(embeds, axis=1, keepdims=True), 1e-9)
+    a = x @ x.T
+    a = np.clip(a, 0.0, None)          # negative cosine = no affinity
+    np.fill_diagonal(a, 0.0)
+    # Row-wise sparsification: keep each segment's strongest links.
+    keep = max(2, int(np.ceil(top_frac * n)))
+    if keep < n:
+        cut = np.partition(a, n - keep, axis=1)[:, n - keep][:, None]
+        a = np.where(a >= cut, a, 0.0)
+    a = np.maximum(a, a.T)             # symmetric (max keeps kept links)
+    np.fill_diagonal(a, 1.0)
+    d = a.sum(axis=1)
+    d_inv_sqrt = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    lap = np.eye(n) - (d_inv_sqrt[:, None] * a * d_inv_sqrt[None, :])
+    evals = np.linalg.eigvalsh(lap)    # ascending
+    k_max = min(max_k, n - 1)
+    gaps = evals[1:k_max + 1] - evals[:k_max]
+    return int(np.argmax(gaps) + 1)
+
+
+def cluster_speakers(embeds: np.ndarray, *, n_clusters: Optional[int] = None,
+                     threshold: float = DEFAULT_THRESHOLD,
+                     count_mode: str = "threshold",
+                     max_k: int = 8) -> np.ndarray:
+    """AHC with either threshold stopping (legacy) or spectral eigengap
+    count estimation ("eigengap"): the estimated count pins the dendrogram
+    cut, with threshold fallback when the spectrum is unreadable."""
+    if n_clusters is None and count_mode == "eigengap":
+        n_clusters = estimate_n_speakers(embeds, max_k=max_k)
+    return ahc_labels(embeds, n_clusters=n_clusters, threshold=threshold)

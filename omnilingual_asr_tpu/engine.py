@@ -1035,7 +1035,11 @@ class TranscriptionEngine:
                 th = 0.22
             else:
                 th = CLUSTER_DEFAULT_THRESHOLD
-        labels = ahc_labels(embeds, n_clusters=n_clusters, threshold=th)
+        from .diarization.cluster import cluster_speakers
+
+        labels = cluster_speakers(embeds, n_clusters=n_clusters,
+                                  threshold=th,
+                                  count_mode=cfg.decode.count_mode)
 
         # --- languages + emotions per segment ---
         segments: List[TranscriptSegment] = []

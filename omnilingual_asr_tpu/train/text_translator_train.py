@@ -65,13 +65,182 @@ def _lang_tables():
             list(ENGLISH_WORDS))
 
 
+# ---------------------------------------------------------------------------
+# Grammar pairs: reordering + morphology (round-4, VERDICT r3 #6)
+#
+# The cipher-gloss pairs below exercise only word-for-word substitution; a
+# real language pair (reference gemini_pipeline.py:176-179,208) also demands
+# REORDERING (SOV/VSO -> English SVO) and MORPHOLOGY (case/number/tense
+# suffixes -> English function words and inflection). Each synthetic
+# language gets a deterministic typology — word order, adjective position,
+# case/plural/past suffixes in its own script, postpositions instead of
+# prepositions, no articles — and the translator must parse structure, not
+# substitute tokens: "lemma+ACC lemma+PL+NOM verb+PAST" (SOV) must become
+# "the Xs verbed the Y".
+# ---------------------------------------------------------------------------
+
+_G_NOUNS = ("man woman child house water day night eye head hand side part "
+            "place work year word world school road car city tree sea "
+            "mother father family friend light horse story paper music "
+            "river mountain country farm bird dog sun moon star table").split()
+_G_VERBS = ("help follow watch open call turn ask need want play stay "
+            "count cover cross walk look learn answer remember start "
+            "stop talk listen carry reach pull plan wash miss").split()
+_G_ADJS = ("big small old new good long high red white black green warm "
+           "cold young short strong clear").split()
+_G_PREPS = ("in", "on", "near", "with")
+
+
+def _inflect_3sg(v: str) -> str:
+    if v.endswith(("s", "x", "z", "ch", "sh")):
+        return v + "es"
+    if v.endswith("y") and v[-2:-1] not in "aeiou":
+        return v[:-1] + "ies"
+    return v + "s"
+
+
+def _inflect_past(v: str) -> str:
+    if v.endswith("e"):
+        return v + "d"
+    if v.endswith("y") and v[-2:-1] not in "aeiou":
+        return v[:-1] + "ied"
+    if v == "stop":
+        return "stopped"
+    if v == "plan":
+        return "planned"
+    return v + "ed"
+
+
+def _inflect_plural(n: str) -> str:
+    if n.endswith(("s", "x", "z", "ch", "sh")):
+        return n + "es"
+    if n.endswith("y") and n[-2:-1] not in "aeiou":
+        return n[:-1] + "ies"
+    if n == "man":
+        return "men"
+    if n == "woman":
+        return "women"
+    if n == "child":
+        return "children"
+    return n + "s"
+
+
+def _typology(name: str, lex: List[str]):
+    """Deterministic per-language grammar profile, affixes in the
+    language's own script (drawn from its lexicon's character set)."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.md5(name.encode()).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    alphabet = sorted({c for w in lex[:200] for c in w})
+    def syllable(n):
+        return "".join(alphabet[int(rng.integers(len(alphabet)))]
+                       for _ in range(n))
+    # distinct affix forms (regenerate on collision)
+    forms: List[str] = []
+    while len(forms) < 8:
+        f = syllable(int(rng.integers(1, 3)))
+        if f not in forms:
+            forms.append(f)
+    return {
+        "order": ("sov", "vso", "svo")[int(rng.integers(3))],
+        "adj_post": bool(rng.integers(2)),
+        "acc": forms[0], "obl": forms[1], "pl": forms[2], "past": forms[3],
+        # postposition words for in/on/near/with
+        "post": dict(zip(_G_PREPS, forms[4:8])),
+    }
+
+
+def _grammar_tables(tables, english):
+    """Per-language grammar profiles + the content-word index map.
+
+    Only words present in ENGLISH_WORDS participate (the cipher lexicons
+    are index-aligned with it)."""
+    idx = {w: i for i, w in enumerate(english)}
+    nouns = [w for w in _G_NOUNS if w in idx]
+    verbs = [w for w in _G_VERBS if w in idx]
+    adjs = [w for w in _G_ADJS if w in idx]
+    profiles = [(name, lex, _typology(name, lex))
+                for name, lex in tables]
+    return {"idx": idx, "nouns": nouns, "verbs": verbs, "adjs": adjs,
+            "profiles": profiles}
+
+
+def draw_grammar_pair(rng: np.random.Generator, g) -> Tuple[str, str]:
+    """One (source, english) pair requiring reordering + morphology."""
+    name, lex, ty = g["profiles"][int(rng.integers(len(g["profiles"])))]
+    idx = g["idx"]
+
+    def lemma(w: str) -> str:
+        return lex[idx[w]]
+
+    past = bool(rng.integers(2))
+    subj = g["nouns"][int(rng.integers(len(g["nouns"])))]
+    verb = g["verbs"][int(rng.integers(len(g["verbs"])))]
+    subj_pl = rng.random() < 0.3
+    adj = (g["adjs"][int(rng.integers(len(g["adjs"])))]
+           if rng.random() < 0.4 else None)
+    obj = obj_pl = pp = None
+    if rng.random() < 0.75:
+        obj = g["nouns"][int(rng.integers(len(g["nouns"])))]
+        obj_pl = rng.random() < 0.3
+    if rng.random() < 0.4:
+        pp = (_G_PREPS[int(rng.integers(len(_G_PREPS)))],
+              g["nouns"][int(rng.integers(len(g["nouns"])))])
+
+    # --- source (no articles, affixing morphology, typology order) ---
+    def src_np(noun, plural, case):
+        w = lemma(noun) + (ty["pl"] if plural else "") + case
+        if adj is not None and noun is subj:
+            a = lemma(adj)
+            return f"{w} {a}" if ty["adj_post"] else f"{a} {w}"
+        return w
+
+    s_np = src_np(subj, subj_pl, "")
+    v_w = lemma(verb) + (ty["past"] if past else "")
+    o_np = src_np(obj, obj_pl, ty["acc"]) if obj else None
+    pp_w = (f"{lemma(pp[1])}{ty['obl']} {ty['post'][pp[0]]}"
+            if pp else None)
+    if ty["order"] == "sov":
+        parts = [s_np, o_np, pp_w, v_w]
+    elif ty["order"] == "vso":
+        parts = [v_w, s_np, o_np, pp_w]
+    else:
+        parts = [s_np, v_w, o_np, pp_w]
+    src = " ".join(p for p in parts if p)
+
+    # --- English target (articles, inflection, SVO, prepositions) ---
+    def en_np(noun, plural):
+        head = _inflect_plural(noun) if plural else noun
+        if adj is not None and noun is subj:
+            return f"the {adj} {head}"
+        return f"the {head}"
+
+    if past:
+        v_en = _inflect_past(verb)
+    elif subj_pl:
+        v_en = verb
+    else:
+        v_en = _inflect_3sg(verb)
+    out = [en_np(subj, subj_pl), v_en]
+    if obj:
+        out.append(en_np(obj, obj_pl))
+    if pp:
+        out.append(f"{pp[0]} the {pp[1]}")
+    return src, " ".join(out)
+
+
 def draw_pair(rng: np.random.Generator, tables, english,
-              lexicon_size: int) -> Tuple[str, str]:
+              lexicon_size: int, g=None) -> Tuple[str, str]:
     """One (source_text, english_gloss) pair.
 
     Mix mirrors translator_train.py: 1/6 two-language concatenations
     (code-switch segments), 1/2 uniform word draws (full lexicon coverage),
-    the rest zipf-ish draws (the engine's natural segment distribution)."""
+    the rest zipf-ish draws (the engine's natural segment distribution).
+    With grammar tables ``g`` (round-4), half the draws are reordering/
+    morphology clauses instead (draw_grammar_pair)."""
+    if g is not None and rng.random() < 0.5:
+        return draw_grammar_pair(rng, g)
     r = rng.random()
 
     def draw_one(max_words: int) -> Tuple[str, str]:
@@ -138,10 +307,10 @@ def encode_pair(src: str, tgt: str, vocab):
 
 
 def make_batch(rng: np.random.Generator, tables, english, lexicon_size: int,
-               vocab, batch_size: int, *, noise: bool):
+               vocab, batch_size: int, *, noise: bool, g=None):
     rows = []
     for _ in range(batch_size):
-        src, tgt = draw_pair(rng, tables, english, lexicon_size)
+        src, tgt = draw_pair(rng, tables, english, lexicon_size, g)
         if noise and rng.random() < 0.7:  # 30% of batches stay clean
             src = ctc_noise(rng, src)
         rows.append(encode_pair(src, tgt, vocab))
@@ -170,15 +339,18 @@ def train_translator(out_dir: str, *, steps: int = 4000,
     from .synth import LEXICON_SIZE
 
     tables, english = _lang_tables()
+    gtables = _grammar_tables(tables, english)
     rng = np.random.default_rng(seed)
 
     # Fixed held-out sets, excluded from training draws by seed separation
     # (draws are continuous random text — collisions are immaterial because
     # the training stream never repeats, so there is nothing to leak).
     ev_rng = np.random.default_rng(seed + 10_000)
-    ev_pairs = [draw_pair(ev_rng, tables, english, LEXICON_SIZE)
+    ev_pairs = [draw_pair(ev_rng, tables, english, LEXICON_SIZE, gtables)
                 for _ in range(n_eval)]
     ev_noisy = [(ctc_noise(ev_rng, s), t) for s, t in ev_pairs]
+    # reordering/morphology-only subset (VERDICT r3 #6 gate)
+    ev_gram = [draw_grammar_pair(ev_rng, gtables) for _ in range(n_eval)]
 
     def encode_eval(pairs):
         rows = [encode_pair(s, t, vocab) for s, t in pairs]
@@ -187,6 +359,7 @@ def train_translator(out_dir: str, *, steps: int = 4000,
 
     ev_clean_ids = encode_eval(ev_pairs)
     ev_noisy_ids = encode_eval(ev_noisy)
+    ev_gram_ids = encode_eval(ev_gram)
 
     params = text_translator_init(jax.random.PRNGKey(seed), cfg, n_layers=4)
     opt = optax.chain(
@@ -241,7 +414,7 @@ def train_translator(out_dir: str, *, steps: int = 4000,
     t0 = time.perf_counter()
     for i in range(steps):
         batch = make_batch(rng, tables, english, LEXICON_SIZE, vocab,
-                           batch_size, noise=True)
+                           batch_size, noise=True, g=gtables)
         params, opt_state, loss = step(params, opt_state, *batch)
         if (i + 1) % log_every == 0 or i + 1 == steps:
             emit({"step": i + 1, "ce": round(float(loss), 4),
@@ -250,9 +423,11 @@ def train_translator(out_dir: str, *, steps: int = 4000,
         if (i + 1) % eval_every == 0 or i + 1 == steps:
             acc_c = eval_acc(params, ev_clean_ids, ev_pairs)
             acc_n = eval_acc(params, ev_noisy_ids, ev_noisy)
+            acc_g = eval_acc(params, ev_gram_ids, ev_gram)
             emit({"step": i + 1,
                   "eval": {"translation_word_acc": round(acc_c, 4),
                            "translation_word_acc_noisy": round(acc_n, 4),
+                           "translation_word_acc_grammar": round(acc_g, 4),
                            "n_eval": n_eval}})
             if acc_c > best_acc:
                 best_acc, best_params = acc_c, jax.device_get(params)

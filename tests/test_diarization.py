@@ -108,3 +108,56 @@ class TestAHCScipyPath:
         # reference cluster maps to exactly one hypothesis label.
         for r in range(3):
             assert len(np.unique(labels[who == r])) == 1
+
+
+class TestSpeakerCountEstimation:
+    """Spectral eigengap count estimation (round-4, VERDICT r3 #5)."""
+
+    @staticmethod
+    def _clusters(rng, n_spk, per, d=64, spread=0.05):
+        centers = rng.standard_normal((n_spk, d))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        for c in centers:
+            v = c + spread * rng.standard_normal((per, d))
+            rows.append(v)
+        x = np.concatenate(rows)
+        return x[rng.permutation(len(x))]
+
+    def test_recovers_count_on_separated_clusters(self):
+        from omnilingual_asr_tpu.diarization.cluster import (
+            estimate_n_speakers)
+
+        rng = np.random.default_rng(0)
+        for n_spk in (2, 3, 4):
+            ok = 0
+            for trial in range(5):
+                x = self._clusters(rng, n_spk, per=8)
+                if estimate_n_speakers(x) == n_spk:
+                    ok += 1
+            assert ok >= 4, (n_spk, ok)
+
+    def test_too_few_segments_returns_none(self):
+        from omnilingual_asr_tpu.diarization.cluster import (
+            estimate_n_speakers)
+
+        rng = np.random.default_rng(1)
+        assert estimate_n_speakers(rng.standard_normal((3, 16))) is None
+
+    def test_cluster_speakers_eigengap_matches_labels(self):
+        from omnilingual_asr_tpu.diarization.cluster import cluster_speakers
+
+        rng = np.random.default_rng(2)
+        x = self._clusters(rng, 3, per=10)
+        labels = cluster_speakers(x, count_mode="eigengap")
+        assert len(set(labels.tolist())) == 3
+        # first-appearance numbering preserved
+        assert labels[0] == 0
+
+    def test_user_hint_overrides_eigengap(self):
+        from omnilingual_asr_tpu.diarization.cluster import cluster_speakers
+
+        rng = np.random.default_rng(3)
+        x = self._clusters(rng, 3, per=8)
+        labels = cluster_speakers(x, n_clusters=2, count_mode="eigengap")
+        assert len(set(labels.tolist())) == 2

@@ -245,7 +245,7 @@ if before_deadline; then
     mkdir -p "$TOUT"
     log "stage T: text-mode translator (reordering/morphology corpus)"
     timeout 3600 python -u -m omnilingual_asr_tpu.train.text_translator_train \
-        --steps 16000 --batch-size 128 --lr 1e-3 \
+        --steps 24000 --batch-size 128 --lr 1e-3 \
         --out "$TOUT" --metrics-log "$TOUT/metrics.jsonl" \
         > "$TOUT/train.log" 2>&1
     log "stage T rc=$?"
@@ -298,6 +298,37 @@ if before_deadline; then
     mkdir -p evals/r4
     bash tools/run_evals.sh "$EV_TRUNK" evals/r4 > /tmp/run_evals_r4.log 2>&1
     log "evals: $(ls evals/r4)"
+
+    # stage V2: eigengap speaker-count stopping vs threshold stopping —
+    # flip the shipped default only if the measurement wins on BOTH DER
+    # and count accuracy (VERDICT r3 #5).
+    log "stage V2: diar count-mode comparison"
+    timeout 2400 python eval_diar.py --ckpt "$EV_TRUNK/asr" --n 16 \
+      --count-mode eigengap > /tmp/diar_eig_r4.log 2>&1
+    tail -1 /tmp/diar_eig_r4.log > evals/r4/diar_eigengap.json
+    python - <<'PY'
+import json, pathlib
+out = pathlib.Path("evals/r4")
+try:
+    base = json.loads((out / "diar.json").read_text())
+    eig = json.loads((out / "diar_eigengap.json").read_text())
+except Exception as e:
+    print("compare failed:", e)
+    raise SystemExit(0)
+b_der, e_der = base.get("value", 1.0), eig.get("value", 1.0)
+b_acc = base.get("speaker_count_acc", 0.0)
+e_acc = eig.get("speaker_count_acc", 0.0)
+print(f"threshold: DER {b_der} count-acc {b_acc}; "
+      f"eigengap: DER {e_der} count-acc {e_acc}")
+if e_der <= b_der and e_acc > b_acc:
+    cfgp = pathlib.Path("checkpoints/release/config.json")
+    cfg = json.loads(cfgp.read_text())
+    cfg.setdefault("decode", {})["count_mode"] = "eigengap"
+    cfgp.write_text(json.dumps(cfg, indent=1))
+    print("release config flipped to count_mode=eigengap")
+else:
+    print("threshold stopping stands")
+PY
   }
 fi
 
