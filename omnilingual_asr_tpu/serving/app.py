@@ -623,6 +623,23 @@ def main():
     args = ap.parse_args()
     srv = OmniServer(base_dir=args.data_dir, auth_required=args.auth,
                      use_sqlite=not args.memory)
+
+    # SIGTERM must be a CLEAN exit: python's default SIGTERM handling skips
+    # atexit, and on TPU-pool backends the accelerator lease release rides
+    # atexit — an unhandled SIGTERM orphans the pool-side claim for hours
+    # (round-3/4 operational notes). `kill <pid>` on this server now
+    # releases the chip like Ctrl-C does.
+    import signal
+    import sys as _sys
+
+    def _term(_sig, _frm):
+        try:
+            srv.shutdown()
+        except Exception:
+            pass
+        _sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _term)
     print(f"OmniScribe TPU serving on http://{args.host}:{args.port}")
     srv.serve(args.host, args.port)
 

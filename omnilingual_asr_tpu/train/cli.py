@@ -116,6 +116,9 @@ def pretrain(manifest: str, *, steps: int, batch_size: int,
 
 
 def main():
+    from ..utils.term import install_sigterm_exit
+
+    install_sigterm_exit()
     ap = argparse.ArgumentParser(description="Train the omnilingual ASR model")
     ap.add_argument("manifest")
     ap.add_argument("--steps", type=int, default=1000)

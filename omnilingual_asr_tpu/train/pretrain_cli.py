@@ -222,6 +222,9 @@ def pretrain_main(*, steps: int, batch_size: int, cfg: PipelineConfig,
 
 
 def main():
+    from ..utils.term import install_sigterm_exit
+
+    install_sigterm_exit()
     ap = argparse.ArgumentParser(
         description="BEST-RQ pretraining on synth + real audio")
     ap.add_argument("--steps", type=int, default=6000)

@@ -358,6 +358,9 @@ def train_summarizer(*, asr_ckpt: str, out_dir: str, steps: int = 4000,
 
 
 def main():
+    from ..utils.term import install_sigterm_exit
+
+    install_sigterm_exit()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--ckpt", required=True, help="trained ASR checkpoint")
     ap.add_argument("--out", required=True)

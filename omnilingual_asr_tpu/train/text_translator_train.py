@@ -442,6 +442,9 @@ def train_translator(out_dir: str, *, steps: int = 4000,
 
 
 def main() -> None:
+    from ..utils.term import install_sigterm_exit
+
+    install_sigterm_exit()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--steps", type=int, default=4000)

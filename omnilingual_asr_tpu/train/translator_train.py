@@ -305,6 +305,9 @@ def train_translator(*, asr_ckpt: str, out_dir: str,
 
 
 def main() -> None:
+    from ..utils.term import install_sigterm_exit
+
+    install_sigterm_exit()
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True,
                     help="trained ASR checkpoint dir (the asr/ subdir of a "

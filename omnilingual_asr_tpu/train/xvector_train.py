@@ -229,6 +229,9 @@ def train_xvector(*, steps: int, batch_size: int, lr: float = 1e-3,
 
 
 def main():
+    from ..utils.term import install_sigterm_exit
+
+    install_sigterm_exit()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch-size", type=int, default=64)
