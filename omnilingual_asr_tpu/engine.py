@@ -545,6 +545,56 @@ class TranscriptionEngine:
             samples = resample(samples, sr, target)
         return samples
 
+    def _stream_windows_wav(self, audio_path: Path):
+        """Lazy window stream over a PCM-16 WAV at the engine sample rate.
+
+        Returns (window_iter, n_windows, n_samples_last, duration_s) or
+        None when the file needs full decode (non-WAV container, wrong
+        rate/format). Long files spend ~50 s of a 275 s 9.5 h run in host
+        decode (evals/r3/long.json); streaming the windows lets
+        _forward_batches pull them during dispatch, so decode rides UNDER
+        the device forward instead of in front of it (VERDICT r3 #4).
+        """
+        import wave
+
+        sr = self.config.frontend.sample_rate
+        try:
+            w = wave.open(str(audio_path), "rb")
+        except Exception:
+            return None
+        try:
+            if (w.getcomptype() != "NONE" or w.getsampwidth() != 2
+                    or w.getframerate() != sr or w.getnchannels() < 1):
+                w.close()
+                return None
+            n_channels = w.getnchannels()
+            n_frames = w.getnframes()
+        except Exception:
+            w.close()
+            return None
+        if n_frames <= 0:
+            w.close()
+            return None
+        ws = self.window_samples
+        n_windows = (n_frames + ws - 1) // ws
+        n_samples_last = n_frames - (n_windows - 1) * ws
+
+        def gen():
+            try:
+                for i in range(n_windows):
+                    raw = w.readframes(ws)
+                    x = np.frombuffer(raw, dtype="<i2")
+                    if n_channels > 1:
+                        x = x.reshape(-1, n_channels).mean(axis=1)
+                    row = x.astype(np.float32) * (1.0 / 32768.0)
+                    if len(row) < ws:
+                        row = np.pad(row, (0, ws - len(row)))
+                    yield (i * ws / sr, row)
+            finally:
+                w.close()
+
+        return gen(), n_windows, n_samples_last, n_frames / sr
+
     def _windows(self, samples: np.ndarray) -> List[Tuple[float, np.ndarray]]:
         """Cut samples into fixed windows: [(offset_seconds, window_samples)]."""
         sr = self.config.frontend.sample_rate
@@ -579,7 +629,8 @@ class TranscriptionEngine:
     def _forward_batches(self, windows: Sequence[Tuple[float, np.ndarray]],
                          n_samples_last: int,
                          orthography: Optional[str] = None,
-                         batch_progress=None):
+                         batch_progress=None,
+                         n_windows: Optional[int] = None):
         """Generator over device batches: yields a list of per-window host
         dicts per completed batch.
 
@@ -587,19 +638,22 @@ class TranscriptionEngine:
         transcribe_streaming() (they previously maintained two copies —
         VERDICT r1). All batches are dispatched asynchronously up front so
         H2D transfer and compute of batch k+1 overlap collection of batch k.
+
+        ``windows`` may be a LAZY iterable (the streaming-decode long-file
+        path): pass ``n_windows`` and the dispatch loop pulls windows as it
+        goes, overlapping host audio decode with device compute of the
+        already-dispatched batches.
         """
         cfg = self.config
         B = self.batch_size
-        n_win = len(windows)
+        n_win = n_windows if n_windows is not None else len(windows)
+        win_iter = iter(windows)
 
         # Per-window valid frame counts (last window may be partial).
-        valid = []
-        for i, (off, _) in enumerate(windows):
-            if i == n_win - 1:
-                n_s = n_samples_last
-            else:
-                n_s = self.window_samples
-            valid.append(cfg.frontend.frames_for_samples(n_s))
+        def frames_for(i: int) -> int:
+            n_s = n_samples_last if i == n_win - 1 else self.window_samples
+            return min(cfg.frontend.frames_for_samples(n_s),
+                       self.window_frames)
 
         from .models.orthography import ctc_logit_mask
 
@@ -610,10 +664,9 @@ class TranscriptionEngine:
         # batch k (the tunnel/PCIe transfer is the bottleneck, not FLOPs).
         pending = []
         for b0 in range(0, n_win, B):
-            batch = windows[b0:b0 + B]
+            batch = [next(win_iter) for _ in range(min(B, n_win - b0))]
             sample_rows = [w for _, w in batch]
-            n_valid = [min(valid[b0 + k], self.window_frames)
-                       for k in range(len(batch))]
+            n_valid = [frames_for(b0 + k) for k in range(len(batch))]
             while len(sample_rows) < B:  # pad batch to static size
                 sample_rows.append(np.zeros_like(sample_rows[0]))
                 n_valid.append(0)
@@ -944,18 +997,26 @@ class TranscriptionEngine:
     # Host-side assembly
     # ------------------------------------------------------------------
 
-    def _assemble(self, window_outs, *, language: Optional[str],
-                  speaker_count: Optional[str],
-                  duration_s: float,
-                  samples: Optional[np.ndarray] = None
-                  ) -> TranscriptionResult:
-        cfg = self.config
-        decoded: List[DecodedSegment] = []
-        seg_meta = []  # (lid_mean, emo_mean, spk_mean) aligned with decoded
+    def _extract_windows(self, window_outs, decoded=None, seg_meta=None,
+                         embedders=None, states=None):
+        """Per-window host extraction: segmentation, pooling, beam rescore.
 
-        lang_hint_id = lang_table.id_for_language(language) if language else -1
+        Incremental by design: the pipelined transcribe() calls this on each
+        completed device batch WHILE later batches still compute, so this
+        host work (the bulk of the old monolithic assemble stage) overlaps
+        the forward instead of following it (VERDICT r3 #4). Returns
+        (decoded, seg_meta, embedders, states); pass the previous values
+        back in to accumulate."""
+        cfg = self.config
+        decoded = decoded if decoded is not None else []
+        seg_meta = seg_meta if seg_meta is not None else []
+        embedders = embedders if embedders is not None else set()
+        states = states if states is not None else []
 
         for w in window_outs:
+            embedders.add(w.get("spk_embedder", "trunk"))
+            if w.get("encoder_states") is not None:
+                states.append(w["encoder_states"])
             segs = segments_from_alignment(
                 w["ctc_ids"], self.frame_dur_s, cfg.vocab, cfg.decode,
                 time_offset_s=w["offset_s"])
@@ -995,6 +1056,28 @@ class TranscriptionEngine:
                 decoded.append(s)
                 seg_meta.append((emo_mean, spk_mean, (lid_frames, lid_conf),
                                  enc_span))
+        return decoded, seg_meta, embedders, states
+
+    def _assemble(self, window_outs, *, language: Optional[str],
+                  speaker_count: Optional[str],
+                  duration_s: float,
+                  samples: Optional[np.ndarray] = None
+                  ) -> TranscriptionResult:
+        parts = self._extract_windows(window_outs)
+        return self._assemble_global(parts, language=language,
+                                     speaker_count=speaker_count,
+                                     duration_s=duration_s, samples=samples)
+
+    def _assemble_global(self, parts, *, language: Optional[str],
+                         speaker_count: Optional[str],
+                         duration_s: float,
+                         samples: Optional[np.ndarray] = None
+                         ) -> TranscriptionResult:
+        """Whole-file assembly over pre-extracted window parts: speaker
+        clustering, language/emotion aggregation, translation, summary."""
+        cfg = self.config
+        decoded, seg_meta, embedders, states = parts
+        lang_hint_id = lang_table.id_for_language(language) if language else -1
 
         if not decoded:
             return TranscriptionResult(summary=None, segments=[],
@@ -1011,8 +1094,7 @@ class TranscriptionEngine:
         # Inline pooling is only valid when the window outputs carry the
         # active embedder's frames (the sequence path emits trunk frames,
         # so with an x-vector loaded it falls back to crop re-embedding).
-        outs_match = all(w.get("spk_embedder", "trunk") == active
-                         for w in window_outs)
+        outs_match = embedders <= {active}
         want_crop = (self.speaker_mode == "crop"
                      or (self.speaker_mode == "inline" and not outs_match))
         used_crop = False
@@ -1100,8 +1182,6 @@ class TranscriptionEngine:
             # claims, and the template states what the heads actually found.
             from .models.summarizer import summary_consistent
 
-            states = [w["encoder_states"] for w in window_outs
-                      if w.get("encoder_states") is not None]
             if states:
                 # Fact-conditioned checkpoints read the engine's own
                 # metadata as a forced decode prefix (summarizer.py);
@@ -1348,37 +1428,78 @@ class TranscriptionEngine:
 
         trace = StageTrace(n_chips=self.mesh.devices.size)
         audio_path = Path(audio_path)
-        _report("uploading", 0)       # step 0: host decode + resample
-        with trace.stage("decode"):
-            samples = self._load_audio(audio_path)
         sr = self.config.frontend.sample_rate
-        duration_s = len(samples) / sr
+        _report("uploading", 0)       # step 0: host decode + resample
+
+        # Long-file fast path (VERDICT r3 #4): stream PCM windows straight
+        # off the container so host decode rides UNDER the device forward
+        # (the 9.5 h envelope spent ~50 s in up-front decode). Only when no
+        # later stage needs the full sample buffer (crop re-embedding).
+        samples = None
+        use_stream = False
+        if self.long_mode != "sequence" and self.speaker_mode != "crop":
+            s = self._stream_windows_wav(audio_path)
+            if (s is not None and s[3] >
+                    self.config.chunking.min_duration_for_chunking_s):
+                win_iter, n_win, n_last, duration_s = s
+                use_stream = True
+        if not use_stream:
+            with trace.stage("decode"):
+                samples = self._load_audio(audio_path)
+            duration_s = len(samples) / sr
         trace.audio_seconds = duration_s
 
         _report("transcribing", 1)    # step 1: TPU forward
-        with trace.stage("forward"):
-            if self.long_mode == "sequence":
+        if self.long_mode == "sequence":
+            with trace.stage("forward"):
                 # whole file as ONE mesh-sharded sequence (ring attention) —
                 # no window boundaries (VERDICT r1 #3)
                 outs = self._forward_sequence(samples,
                                               orthography=orthography)
                 _report_frac("transcribing", 1, 1.0)
-            else:
+            _report("processing", 2)  # step 2: host assembly
+            with trace.stage("assemble"):
+                result = self._assemble(outs, language=language,
+                                        speaker_count=speaker_count,
+                                        duration_s=duration_s,
+                                        samples=samples)
+        else:
+            if not use_stream:
                 windows = self._windows(samples)
-                n_last = len(samples) - (len(windows) - 1) * self.window_samples if windows else 0
-                outs = self._forward_windows(
-                    windows, n_last, orthography=orthography,
-                    # fractional step-1 progress per completed device batch —
-                    # on a long file the SSE client no longer sits at a
-                    # frozen step 1 for the whole forward (VERDICT r1 #5)
-                    batch_progress=lambda done, total: _report_frac(
-                        "transcribing", 1, done / total))
+                n_win = len(windows)
+                n_last = (len(samples) - (n_win - 1) * self.window_samples
+                          if windows else 0)
+                win_iter = windows
+            # Pipelined forward + extraction: every device batch is
+            # dispatched asynchronously, and per-window host extraction
+            # (segmentation/pooling/rescoring — the bulk of the old
+            # assemble stage) runs on each completed batch WHILE later
+            # batches still compute. "forward" below is time blocked on
+            # the device; "extract" is host work that overlapped it.
+            parts = None
+            t_extract = 0.0
+            import time as _time
 
-        _report("processing", 2)      # step 2: host assembly
-        with trace.stage("assemble"):
-            result = self._assemble(outs, language=language,
-                                    speaker_count=speaker_count,
-                                    duration_s=duration_s, samples=samples)
+            with trace.stage("forward"):
+                for outs_b in self._forward_batches(
+                        win_iter, n_last, orthography=orthography,
+                        n_windows=n_win,
+                        # fractional step-1 progress per completed device
+                        # batch (VERDICT r1 #5)
+                        batch_progress=lambda done, total: _report_frac(
+                            "transcribing", 1, done / total)):
+                    t0 = _time.perf_counter()
+                    parts = self._extract_windows(outs_b, *(parts or ()))
+                    t_extract += _time.perf_counter() - t0
+            trace.stages["forward"] = max(
+                0.0, trace.stages.get("forward", 0.0) - t_extract)
+            trace.stages["extract"] = t_extract
+            _report("processing", 2)  # step 2: whole-file assembly
+            with trace.stage("assemble"):
+                result = self._assemble_global(
+                    parts or ([], [], set(), []), language=language,
+                    speaker_count=speaker_count,
+                    duration_s=duration_s, samples=samples)
         self.last_trace = trace
         trace.log(file=audio_path.name)
         _report("done", 3)

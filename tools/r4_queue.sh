@@ -22,9 +22,9 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/omniasr_jax_c
 DEADLINE=${R4_TPU_DEADLINE:-19:30}   # HH:MM local; no TPU stage STARTS after
 PRE=checkpoints/r4_bestrq
 FLAG=checkpoints/r4_d512x12
-PRE_STEPS=4000
-FLAG_STEPS=16000
-SEG_STEPS=2000
+PRE_STEPS=${R4_PRE_STEPS:-2500}
+FLAG_STEPS=${R4_FLAG_STEPS:-16000}
+SEG_STEPS=${R4_SEG_STEPS:-2000}
 
 log() { echo "[r4 $(date +%H:%M:%S)] $*"; }
 
@@ -178,7 +178,7 @@ while before_deadline; do
       --speed-perturb 0.1 --wire mulaw \
       --device-pool 2048 --pool-refresh-every 150 \
       --select transfer --select-synth-cap 0.05 \
-      --eval-every 500 --ckpt-dir "$FLAG" \
+      --eval-every 1000 --ckpt-dir "$FLAG" \
       --metrics-log "$FLAG/metrics.jsonl" > "$FLAG/train.log" 2>&1
   rc=$?
   NEW=$(state_step "$FLAG/last")
