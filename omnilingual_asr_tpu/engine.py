@@ -1142,7 +1142,14 @@ class TranscriptionEngine:
                     all_languages.append(
                         {"code": lg["code"], "language": lg["name"]})
             emo_idx = int(np.argmax(emo_mean[: len(EMOTIONS)]))
-            emotion_counts[emo_idx] += 1
+            # Overall tone: duration-weighted probability mass, not a
+            # per-segment argmax vote — over-segmentation of one long turn
+            # must not outvote the conversation, and weakly-classified
+            # segments should count less (VERDICT r3 #8: tone-fact acc).
+            logits = emo_mean[: len(EMOTIONS)].astype(np.float64)
+            p = np.exp(logits - logits.max())
+            p /= p.sum()
+            emotion_counts += max(s.end - s.start, 1e-3) * p
             segments.append(TranscriptSegment(
                 start=round(s.start, 3),
                 end=round(s.end, 3),

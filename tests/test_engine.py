@@ -126,7 +126,9 @@ class TestEngineContract:
         engine.transcribe(speech_wav)
         tr = engine.last_trace
         assert tr is not None
-        assert set(tr.stages) == {"decode", "forward", "assemble"}
+        # round-4 pipelined path: per-window extraction is its own stage
+        # (host work overlapped with the device forward)
+        assert set(tr.stages) == {"decode", "forward", "extract", "assemble"}
         assert tr.audio_seconds == pytest.approx(12.0, abs=0.1)
         assert tr.rtf > 0
         assert tr.to_dict()["audio_hours_per_min_per_chip"] > 0

@@ -100,3 +100,64 @@ class TestNineAndAHalfHourPlan:
         # At the measured ~0.11 s per 8-window batch on one v5e chip, 36
         # batches of 32 windows over 8 chips is well under the 2-minute
         # target; the plan is transfer-bound, not compute-bound.
+
+
+class TestStreamedWindows:
+    """Round-4 pipelined decode (VERDICT r3 #4): PCM windows streamed off
+    the container must match the in-memory window cut exactly."""
+
+    def test_stream_matches_full_decode(self, long_wav):
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        eng = TranscriptionEngine(config=tiny_config(),
+                                  batch_windows_per_device=1,
+                                  window_seconds=30.0)
+        s = eng._stream_windows_wav(long_wav)
+        assert s is not None
+        win_iter, n_win, n_last, duration_s = s
+        assert abs(duration_s - 390) < 0.01
+        samples = eng._load_audio(long_wav)
+        ref = eng._windows(samples)
+        assert n_win == len(ref)
+        assert n_last == len(samples) - (n_win - 1) * eng.window_samples
+        for (o1, w1), (o2, w2) in zip(win_iter, ref):
+            assert o1 == o2
+            np.testing.assert_allclose(w1, w2, atol=1e-6)
+
+    def test_non_wav_falls_back(self, tmp_path):
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        eng = TranscriptionEngine(config=tiny_config(),
+                                  batch_windows_per_device=1,
+                                  window_seconds=30.0)
+        p = tmp_path / "not_audio.wav"
+        p.write_bytes(b"RIFFgarbage")
+        assert eng._stream_windows_wav(p) is None
+
+    @pytest.mark.slow
+    def test_streamed_transcribe_matches_buffered(self, long_wav):
+        """End-to-end: the streaming long-file path produces the same
+        segments as the buffered path."""
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+
+        # crop re-embedding needs the full sample buffer, so auto(->crop)
+        # engines keep the buffered path; pin inline to exercise streaming
+        eng = TranscriptionEngine(config=tiny_config(),
+                                  batch_windows_per_device=2,
+                                  window_seconds=30.0,
+                                  speaker_mode="inline")
+        r_stream = eng.transcribe(long_wav)
+        assert "decode" not in eng.last_trace.stages   # streamed
+        assert "extract" in eng.last_trace.stages
+        # buffered reference: force full decode by dropping the threshold
+        import omnilingual_asr_tpu.engine as E
+
+        orig = eng._stream_windows_wav
+        eng._stream_windows_wav = lambda p: None
+        r_buf = eng.transcribe(long_wav)
+        eng._stream_windows_wav = orig
+        assert "decode" in eng.last_trace.stages
+        assert len(r_stream.segments) == len(r_buf.segments)
+        for a, b in zip(r_stream.segments, r_buf.segments):
+            assert a.start == b.start and a.end == b.end
+            assert a.text == b.text

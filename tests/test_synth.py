@@ -270,6 +270,57 @@ class TestManifests:
         assert items[0]["audio"].endswith("19-198-0000.flac")
 
 
+    def test_fleurs_to_harness_end_to_end(self, tmp_path):
+        """FLEURS-readiness drill (VERDICT r3 #10): fabricate a 3-file
+        corpus in the exact FLEURS on-disk layout, then run the full
+        manifest -> harness -> WER path through the engine, so a real
+        corpus is two commands from a parity number."""
+        import wave
+
+        import numpy as np
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.engine import TranscriptionEngine
+        from omnilingual_asr_tpu.eval.harness import evaluate
+        from omnilingual_asr_tpu.eval.manifests import (
+            fleurs_manifest,
+            write_manifest,
+        )
+
+        lang_dir = tmp_path / "en_us"
+        audio_dir = lang_dir / "audio" / "test"
+        audio_dir.mkdir(parents=True)
+        rows = []
+        rng = np.random.default_rng(0)
+        for i, text in enumerate(("hello world", "good day", "one two")):
+            p = audio_dir / f"clip{i}.wav"
+            t = np.arange(int(1.5 * 16000)) / 16000.0
+            x = 0.2 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+            x += 0.01 * rng.standard_normal(len(t))
+            with wave.open(str(p), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((x * 32000).astype("<i2").tobytes())
+            rows.append(f"{i}\tclip{i}.wav\tRaw {i}\t{text}\tx\t24000\tmale")
+        (lang_dir / "test.tsv").write_text("\n".join(rows) + "\n")
+
+        items = fleurs_manifest(tmp_path, "en_us", "test")
+        manifest = tmp_path / "fleurs_en.jsonl"
+        assert write_manifest(items, manifest) == 3
+
+        engine = TranscriptionEngine(config=tiny_config(),
+                                     batch_windows_per_device=1)
+        report = evaluate(engine, manifest)
+        assert report.n_files == 3
+        assert report.n_ref_words == 6
+        # random-init tiny model: WER is garbage but must be a valid number
+        assert 0.0 <= report.wer
+        assert 0.0 <= report.cer
+        assert len(report.per_file) == 3
+        json.loads(report.to_json())   # the CLI's output line parses
+
+
 class TestCharFrameLabels:
     """Frame-level character supervision (char_frame_label) built from the
     synthesizer's exact char spans — the dense CE bootstrap for CTC."""
