@@ -152,7 +152,17 @@ class OmniServer:
         return None
 
     def _user(self, req: Request) -> Optional[str]:
-        return req.context.get("userId") if self.auth_required else None
+        if self.auth_required:
+            return req.context.get("userId")
+        # wav2elan shell protocol (reference workflows/wav2elan_web/static/
+        # app.js:1-33): the client generates a 12-char session key and sends
+        # it as x-session-key on every /api call "to isolate each user's
+        # workspace". The reference SERVER never reads it (history is
+        # global); here it actually namespaces history when auth is off.
+        key = req.headers.get("x-session-key")
+        if key and len(key) <= 64 and key.isalnum():
+            return f"sk:{key}"
+        return None
 
     # -- helpers -----------------------------------------------------------
 
@@ -212,6 +222,22 @@ class OmniServer:
             return Response(b"<html><body><h1>OmniScribe TPU</h1>"
                             b"<p>API is running.</p></body></html>", 200,
                             "text/html; charset=utf-8")
+
+        @r.route("GET", "/wav2elan")
+        def wav2elan_shell(req: Request) -> Response:
+            """The reference's SECOND frontend shell (workflows/
+            wav2elan_web/static/): same workflows, but a client-side
+            password gate + anonymous per-browser session key
+            (x-session-key header) instead of the JWT account shell.
+            Served as the same SPA bootstrapped in wav2elan mode."""
+            idx = self.static_dir / "index.html"
+            if not idx.exists():
+                raise HTTPError(404, "Not Found")
+            html = idx.read_text()
+            html = html.replace(
+                "<head>",
+                '<head><script>window.OMNI_SHELL="wav2elan";</script>', 1)
+            return Response(html.encode(), 200, "text/html; charset=utf-8")
 
         @r.route("GET", "/static/{path}")
         def static_file(req: Request) -> Response:

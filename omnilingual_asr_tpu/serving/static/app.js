@@ -18,15 +18,65 @@ const $ = (sel) => document.querySelector(sel);
 
 const TOKEN_KEY = "omniasr_token";
 const _fetch = window.fetch.bind(window);
+
+// ---- wav2elan shell (reference workflows/wav2elan_web/static/app.js) ----
+// The reference ships a SECOND frontend: no accounts — a per-browser
+// 12-char session key rides every /api call as x-session-key (:1-33), and
+// a client-side password modal gates transcription (:114-178). Served at
+// /wav2elan with window.OMNI_SHELL set; the JWT shell below stays the
+// default at /.
+const WAV2ELAN = window.OMNI_SHELL === "wav2elan";
+const W2E_PASSWORD = "sesquip";
+
+function sessionKey() {
+  let key = localStorage.getItem("omni_session_key");
+  if (!key) {
+    const chars =
+      "ABCDEFGHJKLMNPQRSTUVWXYZabcdefghjkmnpqrstuvwxyz23456789";
+    const arr = new Uint8Array(12);
+    crypto.getRandomValues(arr);
+    key = Array.from(arr, (b) => chars[b % chars.length]).join("");
+    localStorage.setItem("omni_session_key", key);
+  }
+  return key;
+}
+
+let w2eGateResolve = null;
+
+function w2eGate() {
+  // Resolves once the user has entered the gate password (kept for the
+  // tab in sessionStorage, reference :115).
+  if (sessionStorage.getItem("authenticated") === "true") {
+    return Promise.resolve();
+  }
+  $("#password-modal").hidden = false;
+  $("#password-input").focus();
+  return new Promise((resolve) => { w2eGateResolve = resolve; });
+}
+
 window.fetch = (url, opts = {}) => {
+  const u = String(url);
+  if (WAV2ELAN) {
+    let gate = Promise.resolve();
+    if (u.startsWith("/api/transcribe")) {
+      gate = w2eGate();
+    }
+    return gate.then(() => {
+      if (u.startsWith("/api")) {
+        opts.headers = { ...(opts.headers || {}),
+                         "x-session-key": sessionKey() };
+      }
+      return _fetch(url, opts);
+    });
+  }
   const token = localStorage.getItem(TOKEN_KEY);
-  if (token && String(url).startsWith("/api")) {
+  if (token && u.startsWith("/api")) {
     opts.headers = { ...(opts.headers || {}),
                      Authorization: `Bearer ${token}` };
   }
   return _fetch(url, opts).then((resp) => {
-    if (resp.status === 401 && String(url).startsWith("/api") &&
-        !String(url).includes("/api/auth/")) {
+    if (resp.status === 401 && u.startsWith("/api") &&
+        !u.includes("/api/auth/")) {
       showAuth();
     }
     return resp;
@@ -49,6 +99,35 @@ function setAuthMode(reg) {
 }
 
 document.addEventListener("DOMContentLoaded", () => {
+  if (WAV2ELAN) {
+    // wav2elan gate wiring (reference :157-178): Enter or the button
+    // validates; wrong password shows the inline error and refocuses.
+    const validate = () => {
+      if ($("#password-input").value === W2E_PASSWORD) {
+        sessionStorage.setItem("authenticated", "true");
+        $("#password-modal").hidden = true;
+        $("#password-error").hidden = true;
+        const resolve = w2eGateResolve;
+        w2eGateResolve = null;
+        if (resolve) resolve();
+      } else {
+        $("#password-error").hidden = false;
+        $("#password-input").value = "";
+        $("#password-input").focus();
+      }
+    };
+    $("#password-submit").onclick = validate;
+    $("#password-input").onkeydown = (e) => {
+      if (e.key === "Enter") {
+        e.preventDefault();
+        validate();
+      }
+    };
+    $("#password-cancel").onclick = () => {
+      $("#password-modal").hidden = true;
+      w2eGateResolve = null;   // abandoned upload stays pending-free
+    };
+  }
   $("#auth-toggle").onclick = (e) => {
     e.preventDefault();
     setAuthMode(!registerMode);

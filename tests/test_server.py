@@ -46,9 +46,10 @@ class Client:
         self.port = port
         self.token = token
 
-    def request(self, method, path, body=None, content_type=None, raw=False):
+    def request(self, method, path, body=None, content_type=None, raw=False,
+                headers=None):
         conn = http.client.HTTPConnection("127.0.0.1", self.port, timeout=30)
-        headers = {}
+        headers = dict(headers or {})
         if content_type:
             headers["Content-Type"] = content_type
         if self.token:
@@ -488,3 +489,42 @@ class TestMemoryMode:
         status, _ = c.request("GET", f"/api/audio/{entry['id']}")
         assert status == 404  # no blob store in memory mode
         srv.shutdown()
+
+
+class TestWav2ElanShell:
+    """The reference's second frontend (workflows/wav2elan_web): a
+    /wav2elan bootstrap of the same SPA with the x-session-key protocol.
+    The reference server IGNORES the header (history is global); here it
+    namespaces history per browser session when auth is off."""
+
+    def test_shell_route_injects_mode_flag(self, server):
+        status, body = server.request("GET", "/wav2elan", raw=True)
+        assert status == 200
+        html = body.decode()
+        assert 'window.OMNI_SHELL="wav2elan"' in html
+        assert "password-modal" in html
+
+    def test_session_key_namespaces_history(self, server):
+        body, ctype = multipart({}, [("file", "w2e.wav", make_wav_bytes())])
+        status, entry = server.request(
+            "POST", "/api/transcribe", body, ctype,
+            headers={"x-session-key": "AbCd12345678"})
+        assert status == 200
+        s, mine = server.request(
+            "GET", "/api/history",
+            headers={"x-session-key": "AbCd12345678"})
+        assert s == 200
+        assert any(e["id"] == entry["id"] for e in mine)
+        s, theirs = server.request(
+            "GET", "/api/history",
+            headers={"x-session-key": "Zz9876543210"})
+        assert s == 200
+        assert not any(e["id"] == entry["id"] for e in theirs)
+
+    def test_invalid_session_key_ignored(self, server):
+        # non-alphanumeric keys fall back to the anonymous namespace
+        s, out = server.request(
+            "GET", "/api/history",
+            headers={"x-session-key": "../etc/passwd"})
+        assert s == 200
+        assert isinstance(out, list)

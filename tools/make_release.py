@@ -54,6 +54,20 @@ def main() -> None:
         src = ckpt / name
         if src.is_dir():
             params = load_translator(src, cfg, n_layers=n_layers)
+            if name == "translator":
+                from omnilingual_asr_tpu.models.translation import (
+                    is_text_translator)
+
+                if not is_text_translator(params):
+                    # RETIRED (round 4, VERDICT r3 #6): the audio-
+                    # conditioned translation decoder memorizes its frozen
+                    # encoder-state training banks (held-out word acc 0.09
+                    # vs text mode's 0.90+) — no shipped release may carry
+                    # one. Train the text-mode translator instead
+                    # (train/text_translator_train.py).
+                    print(f"SKIP {src}: audio-mode translator is retired "
+                          "from releases (text mode only)")
+                    continue
             save_release(out / f"{name}.npz", params)
 
     # Speaker embedder: trained separately (train/xvector_train.py saves
