@@ -1,0 +1,33 @@
+#!/bin/bash
+# Trimmed round-4 eval battery (the round clock leaves no room for the
+# full tools/run_evals.sh): synth + heads + diar (both count modes) +
+# long 9.5h + latency. Quantized deltas were measured in round 3
+# (evals/r3/synth_{int8,w8,a8}*) and the kernels are unchanged.
+set -u
+CKPT=${1:?usage: r4_evals.sh <ckpt-dir (containing asr/)> [out-dir]}
+OUT=${2:-evals/r4}
+mkdir -p "$OUT"
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/omniasr_jax_cache}
+
+cd "$(dirname "$0")/.."
+
+run() {
+  name=$1; shift
+  echo "== $name: $*"
+  timeout 1800 python "$@" >"$OUT/$name.log" 2>&1
+  rc=$?
+  tail -1 "$OUT/$name.log" > "$OUT/$name.json"
+  echo "rc=$rc  $(cat "$OUT/$name.json")"
+}
+
+run synth eval_synth.py --ckpt "$CKPT/asr" --n 96
+run synth_lm eval_synth.py --ckpt "$CKPT/asr" --n 64 --beam 8
+HEADS_TR=""
+[ -d "$CKPT/translator" ] && HEADS_TR="--translator $CKPT/translator"
+[ -d "$CKPT/summarizer" ] && HEADS_TR="$HEADS_TR --summarizer $CKPT/summarizer"
+run heads eval_heads.py --ckpt "$CKPT/asr" $HEADS_TR --n 64
+run diar eval_diar.py --ckpt "$CKPT/asr" --n 16
+run diar_eigengap eval_diar.py --ckpt "$CKPT/asr" --n 16 --count-mode eigengap
+run long eval_long.py --hours 9.5
+run latency eval_latency.py
+echo "reports in $OUT"

@@ -19,7 +19,9 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/omniasr_jax_cache}
 
-DEADLINE=${R4_TPU_DEADLINE:-19:30}   # HH:MM local; no TPU stage STARTS after
+DEADLINE=${R4_TPU_DEADLINE:-15:00}   # HH:MM local; no TPU stage STARTS after
+# (the ROUND clock started ~04:00 — PROGRESS.jsonl wall_s — so the 12 h
+# budget ends ~16:00; the driver needs the chip free for its bench run)
 PRE=checkpoints/r4_bestrq
 FLAG=checkpoints/r4_d512x12
 PRE_STEPS=${R4_PRE_STEPS:-2500}
@@ -294,18 +296,15 @@ if before_deadline; then
         python tools/seed_from_release.py --out "$EV_TRUNK" \
         > /tmp/seed_r4.log 2>&1
     fi
-    log "stage E: eval battery on $EV_TRUNK"
+    log "stage E: eval battery on $EV_TRUNK (trimmed, r4_evals.sh)"
     mkdir -p evals/r4
-    bash tools/run_evals.sh "$EV_TRUNK" evals/r4 > /tmp/run_evals_r4.log 2>&1
+    bash tools/r4_evals.sh "$EV_TRUNK" evals/r4 > /tmp/run_evals_r4.log 2>&1
     log "evals: $(ls evals/r4)"
 
     # stage V2: eigengap speaker-count stopping vs threshold stopping —
     # flip the shipped default only if the measurement wins on BOTH DER
-    # and count accuracy (VERDICT r3 #5).
-    log "stage V2: diar count-mode comparison"
-    timeout 2400 python eval_diar.py --ckpt "$EV_TRUNK/asr" --n 16 \
-      --count-mode eigengap > /tmp/diar_eig_r4.log 2>&1
-    tail -1 /tmp/diar_eig_r4.log > evals/r4/diar_eigengap.json
+    # and count accuracy (VERDICT r3 #5). diar_eigengap.json was produced
+    # by r4_evals.sh above.
     python - <<'PY'
 import json, pathlib
 out = pathlib.Path("evals/r4")
