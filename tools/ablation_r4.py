@@ -34,6 +34,13 @@ R3_BASELINE = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--metrics", default="checkpoints/r4_d512x12/metrics.jsonl")
+    ap.add_argument("--pretrain-arm-metrics",
+                    default="checkpoints/r4_d512x12_bestrqinit_failed/"
+                            "metrics.jsonl",
+                    help="metrics of the BEST-RQ-initialized arm (measured "
+                         "12:14: CTC plateaued 2.4-3.5 with frame-CE above "
+                         "uniform — the weak 1000-step init HURT; killed "
+                         "at 2500 steps)")
     ap.add_argument("--pretrain-metrics",
                     default="checkpoints/r4_bestrq/metrics.jsonl")
     ap.add_argument("--out", default="evals/r4/ablation.json")
@@ -69,6 +76,23 @@ def main() -> None:
                 pre = {"steps": d.get("step"),
                        "final_masked_acc": d.get("masked_acc")}
 
+    # The measured pretrain-init arm (killed once the plateau was clear).
+    pre_arm = []
+    pa = Path(args.pretrain_arm_metrics)
+    if pa.exists():
+        for line in pa.read_text().splitlines():
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            if "ctc" in d and d.get("step", 0) % 500 == 0:
+                pre_arm.append({"step": d["step"], "ctc": d["ctc"],
+                                "frame_ce": d.get("frame_ce")})
+            ev = d.get("eval")
+            if ev:
+                pre_arm.append({"step": d.get("step"),
+                                "synth_wer": ev.get("synth", {}).get("wer")})
+
     report = {
         "metric": "pretrain_ablation_d512x12",
         "r4_run": {
@@ -79,11 +103,23 @@ def main() -> None:
             "pretrain": pre,
             "eval_points": points,
         },
+        "bestrq_init_arm": {
+            "init": "1000-step BEST-RQ (cut short by the round clock)",
+            "outcome": "HURT: CTC plateaued 2.4-3.5 with blank-excluded "
+                       "frame-CE above uniform (the round-2 failure "
+                       "signature) while the scratch recipe descends to "
+                       "CTC<0.4 by 700 steps; killed at 2500 steps",
+            "points": pre_arm,
+        },
         "r3_baseline": R3_BASELINE,
-        "reading": "r4 vs r3 at matched steps isolates {BEST-RQ init + "
-                   "full-state resume} jointly; the r3 s2/s3 points "
-                   "additionally show the optimizer-restart bounce the "
-                   "full-state resume removes.",
+        "reading": "Three arms: (a) r4 scratch + full-state resume (the "
+                   "shipped run), (b) r4 BEST-RQ(1000)-init (measured "
+                   "harmful at this pretrain budget), (c) r3 scratch + "
+                   "params-only resume (the optimizer-restart bounce). "
+                   "(a) vs (c) isolates the full-state resume; (b) shows "
+                   "an UNDER-trained masked-prediction init is worse than "
+                   "none — the pretrain needs its full step budget before "
+                   "it can pay (masked_acc was still ~0.17 at cutoff).",
     }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

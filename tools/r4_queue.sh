@@ -149,11 +149,15 @@ while before_deadline; do
 done
 
 INIT_ARGS=""
-if [ -d "$PRE/last/asr" ]; then
+if [ "${R4_USE_PRETRAIN:-1}" = "1" ] && [ -d "$PRE/last/asr" ]; then
   INIT_ARGS="--init-encoder $PRE/last/asr"
   log "flagship will warm-start from $PRE/last/asr"
 else
-  log "no pretrain checkpoint; flagship trains from scratch"
+  # Measured (12:14): the 1000-step BEST-RQ init put the CTC in the
+  # round-2 plateau (ctc 2.4-3.5 bouncing, frame-CE above uniform) where
+  # the from-scratch recipe descends cleanly (r3: ctc 0.35 @ 700).
+  # R4_USE_PRETRAIN=0 runs the known-good scratch recipe.
+  log "flagship trains from scratch (pretrain init off or absent)"
 fi
 
 # --- stage D: flagship d512x12, segmented with full-state resume ------------
