@@ -19,9 +19,20 @@ set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/omniasr_jax_cache}
 
-DEADLINE=${R4_TPU_DEADLINE:-15:00}   # HH:MM local; no TPU stage STARTS after
-# (the ROUND clock started ~04:00 — PROGRESS.jsonl wall_s — so the 12 h
-# budget ends ~16:00; the driver needs the chip free for its bench run)
+# Deadline: absolute epoch (survives midnight rollover) takes priority;
+# falls back to the same-day HH:MM form used by earlier sessions.
+DEADLINE_EPOCH=${R4_DEADLINE_EPOCH:-}
+if [ -z "$DEADLINE_EPOCH" ]; then
+  DEADLINE=${R4_TPU_DEADLINE:-15:00}   # HH:MM local, same-day only
+  DEADLINE_EPOCH=$(python - "$DEADLINE" <<'PY'
+import sys, time
+hh, mm = map(int, sys.argv[1].split(":"))
+t = time.localtime()
+print(int(time.mktime((t.tm_year, t.tm_mon, t.tm_mday, hh, mm, 0,
+                       t.tm_wday, t.tm_yday, t.tm_isdst))))
+PY
+)
+fi
 PRE=checkpoints/r4_bestrq
 FLAG=checkpoints/r4_d512x12
 PRE_STEPS=${R4_PRE_STEPS:-2500}
@@ -31,22 +42,13 @@ SEG_STEPS=${R4_SEG_STEPS:-2000}
 log() { echo "[r4 $(date +%H:%M:%S)] $*"; }
 
 before_deadline() {
-  python - "$DEADLINE" <<'PY'
-import sys, time
-hh, mm = map(int, sys.argv[1].split(":"))
-t = time.localtime()
-sys.exit(0 if (t.tm_hour, t.tm_min) < (hh, mm) else 1)
-PY
+  [ "$(date +%s)" -lt "$DEADLINE_EPOCH" ]
 }
 
 secs_to_deadline() {
-  python - "$DEADLINE" <<'PY'
-import sys, time
-hh, mm = map(int, sys.argv[1].split(":"))
-t = time.localtime()
-now = t.tm_hour * 3600 + t.tm_min * 60 + t.tm_sec
-print(max(60, hh * 3600 + mm * 60 - now))
-PY
+  local s=$(( DEADLINE_EPOCH - $(date +%s) ))
+  [ "$s" -lt 60 ] && s=60
+  echo "$s"
 }
 
 probe() {
