@@ -52,7 +52,8 @@ secs_to_deadline() {
 }
 
 probe() {
-  timeout 300 python -c "
+  # Cold claims have been measured at ~6 min; 300 s timed out forever.
+  timeout 900 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
 print(float((x @ x).sum()))

@@ -38,8 +38,12 @@ def run_point(n: int, hours: float) -> dict:
          "--batch-windows", "2"],
         env=env, capture_output=True, text=True, timeout=3600,
         cwd=str(Path(__file__).resolve().parents[1]))
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        raise RuntimeError(
+            f"eval_long produced no output at n={n} "
+            f"(rc={out.returncode}):\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
