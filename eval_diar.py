@@ -63,6 +63,9 @@ def main():
                     choices=["threshold", "eigengap"],
                     help="speaker-count stopping rule override "
                          "(DecodeConfig.count_mode)")
+    ap.add_argument("--resegment", action="store_true",
+                    help="VBx-style speaker-HMM Viterbi pass over the AHC "
+                         "labels (DecodeConfig.resegment)")
     args = ap.parse_args()
 
     import os
@@ -98,6 +101,8 @@ def main():
             dec_over["ahc_threshold"] = threshold
         if args.count_mode:
             dec_over["count_mode"] = args.count_mode
+        if args.resegment:
+            dec_over["resegment"] = True
         if dec_over:
             c = cfg.replace(decode=dataclasses.replace(
                 cfg.decode, **dec_over))
@@ -137,6 +142,7 @@ def main():
         "value": round(best_der, 4),
         "speaker_count_acc": round(count_acc, 4),
         "count_mode": args.count_mode or "threshold",
+        "resegment": bool(args.resegment),
         "n_conversations": args.n,
         "ckpt": args.ckpt,
         "details": best_details,

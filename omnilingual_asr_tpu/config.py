@@ -168,6 +168,10 @@ class DecodeConfig:
     #                                   pins the dendrogram cut
     #                                   (diarization/cluster.py
     #                                   estimate_n_speakers)
+    resegment: bool = False           # VBx-style speaker-HMM Viterbi pass
+    #                                   over the AHC labels (cluster.py
+    #                                   resegment_labels); default flips
+    #                                   only on a measured DER win
 
 
 @dataclass(frozen=True)

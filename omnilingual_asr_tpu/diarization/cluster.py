@@ -170,13 +170,101 @@ def estimate_n_speakers(embeds: np.ndarray, max_k: int = 8,
     return int(np.argmax(gaps) + 1)
 
 
+def resegment_labels(embeds: np.ndarray, labels: np.ndarray,
+                     *, temperature: float = 0.08,
+                     switch_penalty: float = 1.6,
+                     n_iters: int = 3) -> np.ndarray:
+    """VBx-style HMM resegmentation over AHC labels (VERDICT r3 #5).
+
+    AHC assigns each segment independently of its neighbours; real
+    conversations have speaker *runs*, and the segments AHC gets wrong are
+    mostly low-margin outliers inside a run. This pass re-decodes the
+    time-ordered segment sequence with a speaker HMM (the lightweight
+    analogue of VBx resegmentation, Landini et al. 2022 — diagonalized to
+    cosine scores since there is no PLDA model here):
+
+    - states   = the AHC clusters,
+    - emission = log-softmax over clusters of (embedding . centroid) / T,
+    - transition = 0 to stay, -switch_penalty to change speaker,
+
+    Viterbi-decode, re-estimate centroids from the new labels, repeat
+    until stable (<= ``n_iters``). Clusters never *gain* members they are
+    far from (emission dominates for confident segments); only weak
+    segments inside runs flip. Empty clusters after a pass are dropped.
+
+    embeds must be in time order. Returns first-appearance-renumbered
+    labels like :func:`ahc_labels`.
+    """
+    n = len(embeds)
+    k = int(labels.max()) + 1 if n else 0
+    if n < 3 or k < 2:
+        return labels
+    x = embeds / np.maximum(
+        np.linalg.norm(embeds, axis=1, keepdims=True), 1e-9)
+    cur = labels.astype(np.int64).copy()
+    for _ in range(n_iters):
+        # Centroids of the current assignment (L2-normalized).
+        cents = np.zeros((k, x.shape[1]))
+        for c in range(k):
+            m = cur == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+        norms = np.linalg.norm(cents, axis=1)
+        alive = norms > 1e-9
+        if alive.sum() < 2:
+            break
+        cents[alive] /= norms[alive, None]
+        sims = x @ cents.T                      # [n, k]
+        sims[:, ~alive] = -np.inf
+        logp = sims / max(temperature, 1e-6)
+        logp -= _logsumexp(logp, axis=1)[:, None]
+        # Viterbi with uniform start, stay=0 / switch=-penalty transitions.
+        delta = logp[0].copy()
+        back = np.zeros((n, k), dtype=np.int64)
+        for t in range(1, n):
+            # score[j -> c] = delta[j] + (0 if j==c else -penalty)
+            best_prev = delta.max()
+            cand = np.where(delta == best_prev)[0][0]
+            stay = delta
+            move = best_prev - switch_penalty
+            keep = stay >= move
+            delta = np.where(keep, stay, move) + logp[t]
+            back[t] = np.where(keep, np.arange(k), cand)
+        new = np.zeros(n, dtype=np.int64)
+        new[-1] = int(np.argmax(delta))
+        for t in range(n - 2, -1, -1):
+            new[t] = back[t + 1][new[t + 1]]
+        if (new == cur).all():
+            cur = new
+            break
+        cur = new
+    # First-appearance renumbering (drops emptied clusters).
+    uniq, first_idx = np.unique(cur, return_index=True)
+    remap = np.empty(int(cur.max()) + 1, dtype=np.int64)
+    remap[uniq[np.argsort(first_idx)]] = np.arange(len(uniq))
+    return remap[cur]
+
+
+def _logsumexp(a: np.ndarray, axis: int) -> np.ndarray:
+    m = np.max(a, axis=axis, keepdims=True)
+    m = np.where(np.isfinite(m), m, 0.0)
+    return (np.log(np.sum(np.exp(a - m), axis=axis))
+            + np.squeeze(m, axis=axis))
+
+
 def cluster_speakers(embeds: np.ndarray, *, n_clusters: Optional[int] = None,
                      threshold: float = DEFAULT_THRESHOLD,
                      count_mode: str = "threshold",
-                     max_k: int = 8) -> np.ndarray:
+                     max_k: int = 8,
+                     resegment: bool = False) -> np.ndarray:
     """AHC with either threshold stopping (legacy) or spectral eigengap
     count estimation ("eigengap"): the estimated count pins the dendrogram
-    cut, with threshold fallback when the spectrum is unreadable."""
+    cut, with threshold fallback when the spectrum is unreadable. With
+    ``resegment``, a speaker-HMM Viterbi pass (``resegment_labels``)
+    smooths low-margin assignments over the time axis afterwards."""
     if n_clusters is None and count_mode == "eigengap":
         n_clusters = estimate_n_speakers(embeds, max_k=max_k)
-    return ahc_labels(embeds, n_clusters=n_clusters, threshold=threshold)
+    labels = ahc_labels(embeds, n_clusters=n_clusters, threshold=threshold)
+    if resegment:
+        labels = resegment_labels(embeds, labels)
+    return labels

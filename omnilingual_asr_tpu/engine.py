@@ -1121,7 +1121,8 @@ class TranscriptionEngine:
 
         labels = cluster_speakers(embeds, n_clusters=n_clusters,
                                   threshold=th,
-                                  count_mode=cfg.decode.count_mode)
+                                  count_mode=cfg.decode.count_mode,
+                                  resegment=cfg.decode.resegment)
 
         # --- languages + emotions per segment ---
         segments: List[TranscriptSegment] = []

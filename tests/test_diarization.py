@@ -161,3 +161,71 @@ class TestSpeakerCountEstimation:
         x = self._clusters(rng, 3, per=8)
         labels = cluster_speakers(x, n_clusters=2, count_mode="eigengap")
         assert len(set(labels.tolist())) == 2
+
+
+class TestResegmentation:
+    """VBx-style speaker-HMM Viterbi pass (cluster.resegment_labels)."""
+
+    def _run_embeds(self, rng, order, centers, noise=0.05):
+        return np.stack([centers[c] + noise * rng.standard_normal(
+            len(centers[0])) for c in order])
+
+    def test_fixes_isolated_outlier_inside_run(self):
+        from omnilingual_asr_tpu.diarization.cluster import resegment_labels
+
+        rng = np.random.default_rng(0)
+        centers = [np.eye(16)[0] * 4, np.eye(16)[1] * 4]
+        order = [0] * 8 + [1] * 8
+        x = self._run_embeds(rng, order, centers)
+        # Make segment 3 ambiguous (halfway between centroids) and
+        # mislabel it: the HMM's run prior should pull it back.
+        x[3] = (centers[0] + centers[1]) / 2 + 0.05 * rng.standard_normal(16)
+        labels = np.asarray(order, dtype=np.int64)
+        labels[3] = 1
+        out = resegment_labels(x, labels)
+        assert out[3] == 0
+        assert (out == np.asarray(order)).all()
+
+    def test_keeps_confident_boundaries(self):
+        from omnilingual_asr_tpu.diarization.cluster import resegment_labels
+
+        rng = np.random.default_rng(1)
+        centers = [np.eye(16)[0] * 4, np.eye(16)[1] * 4, np.eye(16)[2] * 4]
+        order = [0, 0, 0, 1, 1, 1, 2, 2, 2, 0, 0]
+        x = self._run_embeds(rng, order, centers)
+        labels = np.asarray(order, dtype=np.int64)
+        out = resegment_labels(x, labels)
+        assert (out == labels).all()
+
+    def test_degenerate_inputs_passthrough(self):
+        from omnilingual_asr_tpu.diarization.cluster import resegment_labels
+
+        rng = np.random.default_rng(2)
+        one = np.zeros((2,), dtype=np.int64)
+        assert (resegment_labels(rng.standard_normal((2, 8)), one)
+                == one).all()  # n < 3
+        single = np.zeros((5,), dtype=np.int64)
+        assert (resegment_labels(rng.standard_normal((5, 8)), single)
+                == single).all()  # k < 2
+
+    def test_renumbers_by_first_appearance(self):
+        from omnilingual_asr_tpu.diarization.cluster import resegment_labels
+
+        rng = np.random.default_rng(3)
+        centers = [np.eye(16)[0] * 4, np.eye(16)[1] * 4]
+        # Speaker 1 heard first in the corrected sequence.
+        order = [1, 1, 1, 0, 0, 0]
+        x = self._run_embeds(rng, order, centers)
+        out = resegment_labels(x, np.asarray(order, dtype=np.int64))
+        assert out[0] == 0 and out[-1] == 1
+
+    def test_cluster_speakers_resegment_flag(self):
+        from omnilingual_asr_tpu.diarization.cluster import cluster_speakers
+
+        rng = np.random.default_rng(4)
+        centers = [np.eye(16)[0] * 4, np.eye(16)[1] * 4]
+        order = [0] * 6 + [1] * 6
+        x = self._run_embeds(rng, order, centers)
+        out = cluster_speakers(x, resegment=True)
+        assert len(set(out.tolist())) == 2
+        assert (out == np.asarray(order)).all()

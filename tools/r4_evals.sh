@@ -28,6 +28,9 @@ HEADS_TR=""
 run heads eval_heads.py --ckpt "$CKPT/asr" $HEADS_TR --n 64
 run diar eval_diar.py --ckpt "$CKPT/asr" --n 16
 run diar_eigengap eval_diar.py --ckpt "$CKPT/asr" --n 16 --count-mode eigengap
+run diar_reseg eval_diar.py --ckpt "$CKPT/asr" --n 16 --resegment
+run diar_eigengap_reseg eval_diar.py --ckpt "$CKPT/asr" --n 16 \
+  --count-mode eigengap --resegment
 run long eval_long.py --hours 9.5
 run latency eval_latency.py
 echo "reports in $OUT"
