@@ -50,15 +50,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=float, default=0.2)
     ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="runs per point; keep the fastest (the host "
+                         "timeshares with background work, so min is the "
+                         "least-contended estimate)")
     ap.add_argument("--out", default="evals/r4/scaling.json")
     args = ap.parse_args()
 
     points = []
     for n in [int(x) for x in args.devices.split(",")]:
-        r = run_point(n, args.hours)
+        runs = [run_point(n, args.hours) for _ in range(max(1, args.reps))]
+        r = min(runs, key=lambda d: d.get("stages_s", {}).get("forward")
+                or float("inf"))
         fwd = r.get("stages_s", {}).get("forward")
         points.append({"n_devices": n, "forward_s": fwd,
                        "wall_s": r.get("wall_s"),
+                       "reps": len(runs),
                        "stages_s": r.get("stages_s")})
         print(json.dumps(points[-1]), flush=True)
 
