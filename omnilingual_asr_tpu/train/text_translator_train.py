@@ -231,16 +231,24 @@ def draw_grammar_pair(rng: np.random.Generator, g) -> Tuple[str, str]:
 
 
 def draw_pair(rng: np.random.Generator, tables, english,
-              lexicon_size: int, g=None) -> Tuple[str, str]:
+              lexicon_size: int, g=None, real=None) -> Tuple[str, str]:
     """One (source_text, english_gloss) pair.
 
     Mix mirrors translator_train.py: 1/6 two-language concatenations
     (code-switch segments), 1/2 uniform word draws (full lexicon coverage),
     the rest zipf-ish draws (the engine's natural segment distribution).
-    With grammar tables ``g`` (round-4), half the draws are reordering/
-    morphology clauses instead (draw_grammar_pair)."""
-    if g is not None and rng.random() < 0.5:
-        return draw_grammar_pair(rng, g)
+    With grammar tables ``g`` (round-4), 40% of draws are reordering/
+    morphology clauses (draw_grammar_pair); with a ``real`` corpus
+    (train/real_pairs.py), 20% are genuine natural-language pairs from the
+    on-box gettext/CLDR resources."""
+    if g is not None or real is not None:
+        r0 = rng.random()
+        if g is not None and r0 < 0.4:
+            return draw_grammar_pair(rng, g)
+        if real is not None and r0 < 0.6:
+            from .real_pairs import draw_real_pair
+
+            return draw_real_pair(rng, real)
     r = rng.random()
 
     def draw_one(max_words: int) -> Tuple[str, str]:
@@ -307,10 +315,10 @@ def encode_pair(src: str, tgt: str, vocab):
 
 
 def make_batch(rng: np.random.Generator, tables, english, lexicon_size: int,
-               vocab, batch_size: int, *, noise: bool, g=None):
+               vocab, batch_size: int, *, noise: bool, g=None, real=None):
     rows = []
     for _ in range(batch_size):
-        src, tgt = draw_pair(rng, tables, english, lexicon_size, g)
+        src, tgt = draw_pair(rng, tables, english, lexicon_size, g, real)
         if noise and rng.random() < 0.7:  # 30% of batches stay clean
             src = ctc_noise(rng, src)
         rows.append(encode_pair(src, tgt, vocab))
@@ -340,6 +348,14 @@ def train_translator(out_dir: str, *, steps: int = 4000,
 
     tables, english = _lang_tables()
     gtables = _grammar_tables(tables, english)
+    try:
+        from .real_pairs import build_real_corpus, draw_real_pair
+
+        real = build_real_corpus()
+        if not real["n_train"]:
+            real = None
+    except ImportError:  # humanize/babel absent on this box
+        real = None
     rng = np.random.default_rng(seed)
 
     # Fixed held-out sets, excluded from training draws by seed separation
@@ -351,6 +367,10 @@ def train_translator(out_dir: str, *, steps: int = 4000,
     ev_noisy = [(ctc_noise(ev_rng, s), t) for s, t in ev_pairs]
     # reordering/morphology-only subset (VERDICT r3 #6 gate)
     ev_gram = [draw_grammar_pair(ev_rng, gtables) for _ in range(n_eval)]
+    # real-language subset: HELD-OUT pairs (hash-split in real_pairs.py,
+    # never drawn in training) — generalization to unseen real vocabulary
+    ev_real = ([draw_real_pair(ev_rng, real, "heldout")
+                for _ in range(n_eval)] if real else [])
 
     def encode_eval(pairs):
         rows = [encode_pair(s, t, vocab) for s, t in pairs]
@@ -360,6 +380,7 @@ def train_translator(out_dir: str, *, steps: int = 4000,
     ev_clean_ids = encode_eval(ev_pairs)
     ev_noisy_ids = encode_eval(ev_noisy)
     ev_gram_ids = encode_eval(ev_gram)
+    ev_real_ids = encode_eval(ev_real) if ev_real else None
 
     params = text_translator_init(jax.random.PRNGKey(seed), cfg, n_layers=4)
     opt = optax.chain(
@@ -414,7 +435,7 @@ def train_translator(out_dir: str, *, steps: int = 4000,
     t0 = time.perf_counter()
     for i in range(steps):
         batch = make_batch(rng, tables, english, LEXICON_SIZE, vocab,
-                           batch_size, noise=True, g=gtables)
+                           batch_size, noise=True, g=gtables, real=real)
         params, opt_state, loss = step(params, opt_state, *batch)
         if (i + 1) % log_every == 0 or i + 1 == steps:
             emit({"step": i + 1, "ce": round(float(loss), 4),
@@ -424,11 +445,17 @@ def train_translator(out_dir: str, *, steps: int = 4000,
             acc_c = eval_acc(params, ev_clean_ids, ev_pairs)
             acc_n = eval_acc(params, ev_noisy_ids, ev_noisy)
             acc_g = eval_acc(params, ev_gram_ids, ev_gram)
-            emit({"step": i + 1,
-                  "eval": {"translation_word_acc": round(acc_c, 4),
-                           "translation_word_acc_noisy": round(acc_n, 4),
-                           "translation_word_acc_grammar": round(acc_g, 4),
-                           "n_eval": n_eval}})
+            ev = {"translation_word_acc": round(acc_c, 4),
+                  "translation_word_acc_noisy": round(acc_n, 4),
+                  "translation_word_acc_grammar": round(acc_g, 4),
+                  "n_eval": n_eval}
+            if ev_real_ids is not None:
+                ev["translation_word_acc_real_heldout"] = round(
+                    eval_acc(params, ev_real_ids, ev_real), 4)
+                ev["real_corpus"] = {"n_train": real["n_train"],
+                                     "n_heldout": real["n_heldout"],
+                                     "n_languages": len(real["languages"])}
+            emit({"step": i + 1, "eval": ev})
             if acc_c > best_acc:
                 best_acc, best_params = acc_c, jax.device_get(params)
 

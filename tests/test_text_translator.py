@@ -285,3 +285,58 @@ class TestGrammarCorpus:
         assert _inflect_past("need") == "needed"
         assert _inflect_plural("child") == "children"
         assert _inflect_plural("city") == "cities"
+
+
+class TestRealPairs:
+    """Natural-language pairs from on-box gettext/CLDR (train/real_pairs.py)."""
+
+    @staticmethod
+    def _corpus():
+        import pytest
+
+        pytest.importorskip("babel")
+        from omnilingual_asr_tpu.train.real_pairs import build_real_corpus
+
+        return build_real_corpus()
+
+    def test_corpus_loads_and_splits(self):
+        c = self._corpus()
+        assert c["n_train"] > 10_000
+        assert c["n_heldout"] > 500
+        assert len(c["languages"]) >= 20
+
+    def test_heldout_disjoint_from_train(self):
+        c = self._corpus()
+        for iso in list(c["heldout"].keys())[:10]:
+            train = set(c["train"].get(iso, []))
+            assert not train & set(c["heldout"][iso])
+
+    def test_placeholders_balanced_and_expanded(self):
+        import numpy as np
+
+        from omnilingual_asr_tpu.train.real_pairs import draw_real_pair
+
+        c = self._corpus()
+        for pairs in c["train"].values():
+            for s, t in pairs:
+                assert s.count("{0}") == t.count("{0}")
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            s, t = draw_real_pair(rng, c)
+            assert "{0}" not in s and "{0}" not in t
+            assert s and t
+
+    def test_po_parser_plural_forms(self):
+        from omnilingual_asr_tpu.train.real_pairs import _parse_po
+
+        entries = _parse_po('\n'.join([
+            'msgid ""', 'msgstr ""', '"Plural-Forms: nplurals=2"', '',
+            'msgid "a minute ago"', 'msgstr "hace un minuto"', '',
+            'msgid "%d minute"', 'msgid_plural "%d minutes"',
+            'msgstr[0] "%d minuto"', 'msgstr[1] "%d minutos"', '',
+            'msgctxt "2"', 'msgid "nd"', 'msgstr "o"',
+        ]))
+        ids = [e["msgid"] for e in entries]
+        assert "a minute ago" in ids
+        assert "%d minute" in ids
+        assert "nd" not in ids  # msgctxt fragments skipped
