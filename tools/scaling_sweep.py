@@ -60,35 +60,40 @@ def main() -> None:
     points = []
     for n in [int(x) for x in args.devices.split(",")]:
         runs = [run_point(n, args.hours) for _ in range(max(1, args.reps))]
-        r = min(runs, key=lambda d: d.get("stages_s", {}).get("forward")
-                or float("inf"))
+        r = min(runs, key=lambda d: d.get("cpu_s") or float("inf"))
         fwd = r.get("stages_s", {}).get("forward")
-        points.append({"n_devices": n, "forward_s": fwd,
+        points.append({"n_devices": n,
+                       "cpu_s": r.get("cpu_s"),
+                       "forward_s": fwd,
                        "wall_s": r.get("wall_s"),
                        "reps": len(runs),
                        "stages_s": r.get("stages_s")})
         print(json.dumps(points[-1]), flush=True)
 
-    base = next((p["forward_s"] for p in points if p["n_devices"] == 1
-                 and p["forward_s"]), None)
+    # Overhead from PROCESS CPU TIME, not wall: the single-core host
+    # timeshares the virtual devices AND whatever else is running, so wall
+    # time conflates contention with the sharded program's real extra work;
+    # total CPU seconds counts only the latter.
+    base = next((p["cpu_s"] for p in points if p["n_devices"] == 1
+                 and p["cpu_s"]), None)
     for p in points:
-        if base and p["forward_s"]:
-            p["speedup"] = round(base / p["forward_s"], 3)
-            p["efficiency"] = round(p["speedup"] / p["n_devices"], 3)
+        if base and p["cpu_s"]:
+            p["cpu_overhead_factor"] = round(base / p["cpu_s"], 3)
 
     report = {
         "metric": "forward_scaling_virtual_mesh",
         "hours": args.hours,
-        "host": "single-core (virtual devices timeshare; relative signal "
-                "only — collective/partition overhead vs n, not absolute "
-                "speed)",
+        "host": "single-core (virtual devices timeshare; cpu_s is the "
+                "contention-robust cost — cpu_overhead_factor(n) = "
+                "cpu_s(1)/cpu_s(n), 1.0 = no partitioning overhead)",
         "points": points,
     }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=1))
     print(json.dumps({"written": str(out),
-                      "points": [(p["n_devices"], p.get("speedup"))
+                      "points": [(p["n_devices"],
+                                  p.get("cpu_overhead_factor"))
                                  for p in points]}))
 
 
