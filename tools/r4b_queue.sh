@@ -56,23 +56,32 @@ wait_tpu() {
   return 0
 }
 
-run_watched() {  # <logfile> <stale_s> <cmd...>: kill on stale NON-EMPTY log
+run_watched() {  # <logfile> <stale_s> <cmd...>
+  # Kills on EITHER (a) a stale non-empty log, or (b) an empty log once
+  # the child has run past the max observed clean startup (compile + pool
+  # build ≈ 15 min; round-4 wedge signature (b) never writes a line).
   local logfile=$1 stale=$2; shift 2
   if [ -s "$logfile" ]; then
     mv "$logfile" "$logfile.$(date +%s).prev"
   fi
   "$@" &
   local pid=$!
+  local started=$(date +%s)
   log "watched pid $pid"
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
+    local now=$(date +%s) age lim
     if [ -s "$logfile" ]; then
-      local age=$(( $(date +%s) - $(stat -c %Y "$logfile") ))
-      if [ "$age" -gt "$stale" ]; then
-        log "log $logfile stale ${age}s — killing $pid"
-        kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
-        return 97
-      fi
+      age=$(( now - $(stat -c %Y "$logfile") ))
+      lim=$stale
+    else
+      age=$(( now - started ))
+      lim=1560
+    fi
+    if [ "$age" -gt "$lim" ]; then
+      log "log $logfile age ${age}s > ${lim}s — killing $pid"
+      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      return 97
     fi
   done
   wait "$pid" 2>/dev/null
