@@ -52,6 +52,16 @@ def main() -> None:
         print("release has no translator.npz -> random-init seed")
     save_translator(out / "translator", trans)
 
+    # The summarizer must ride along too: eval_heads only scores summary
+    # facts when handed an explicit --summarizer dir, and the eval queue
+    # points it at <out>/summarizer (a missing dir silently drops the
+    # summary rows from the round's heads artifact).
+    if (rel / "summarizer.npz").exists():
+        summ = load_translator(rel / "summarizer.npz", cfg, n_layers=2)
+        save_translator(out / "summarizer", summ)
+    else:
+        print("release has no summarizer.npz -> no summarizer seed")
+
     (out / "config.json").write_text(cfg.to_json())
     print(f"seeded trainer trunk at {out}")
 
