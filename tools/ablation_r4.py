@@ -47,6 +47,7 @@ def main() -> None:
     args = ap.parse_args()
 
     points = []
+    points_source = "metrics.jsonl"
     p = Path(args.metrics)
     if p.exists():
         for line in p.read_text().splitlines():
@@ -63,6 +64,22 @@ def main() -> None:
                 "gettysburg_cer": ev.get("gettysburg_heldout",
                                          {}).get("cer"),
             })
+    if not points:
+        # The live metrics logs were lost to a host re-image between
+        # round-4 sessions; the in-run eval points survive in the
+        # committed trajectory table (TRAINING_NOTES.md round-4 "Main
+        # run recipe" section) and the step-10k seed's own eval.
+        points_source = "TRAINING_NOTES.md round-4 trajectory table"
+        points = [
+            {"step": 1000, "synth_wer": 0.521, "gettysburg_cer": 0.727},
+            {"step": 3000, "synth_wer": 0.304, "gettysburg_cer": 0.697,
+             "note": "pre aux-ramp"},
+            {"step": 5000, "synth_wer": 0.572, "gettysburg_cer": 0.788,
+             "note": "aux-ramp bounce (speaker loss peak 1.33)"},
+            {"step": 9000, "synth_wer": 0.339, "gettysburg_cer": 0.758},
+            {"step": 10000, "synth_wer": 0.2971, "gettysburg_cer": 0.7576,
+             "note": "committed seed checkpoints/r4_d512x12_seed"},
+        ]
 
     pre = {}
     pp = Path(args.pretrain_metrics)
@@ -96,12 +113,13 @@ def main() -> None:
     report = {
         "metric": "pretrain_ablation_d512x12",
         "r4_run": {
-            "init": "BEST-RQ pretrain (synth + all real recordings, "
-                    "train/pretrain_cli.py)",
+            "init": "scratch (R4_USE_PRETRAIN=0 after the arm below "
+                    "measured harmful)",
             "resume": "full train-state (optimizer + schedule survive "
                       "segments)",
             "pretrain": pre,
             "eval_points": points,
+            "eval_points_source": points_source,
         },
         "bestrq_init_arm": {
             "init": "1000-step BEST-RQ (cut short by the round clock)",
