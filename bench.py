@@ -99,9 +99,30 @@ def main() -> None:
     # (identical FLOPs/bytes — a perf measurement, not a quality one).
     cfg = PipelineConfig.from_env()
     flagship = PipelineConfig()
+    weights_src = "release" if cfg.checkpoint_path else "random"
     if (cfg.encoder.d_model, cfg.encoder.n_layers) != (
             flagship.encoder.d_model, flagship.encoder.n_layers):
-        cfg = flagship
+        # The discovered release is not flagship-sized. Before falling back
+        # to random-init, look for a committed flagship training seed
+        # (asr.npz + self-describing config.json, e.g.
+        # checkpoints/r5_d512x12_seed/): trained weights at identical
+        # FLOPs/bytes make the headline measure a real model honestly.
+        cfg, weights_src = flagship, "random"
+        candidates = sorted(
+            (p for p in Path("checkpoints").glob("*/config.json")
+             if (p.parent / "asr.npz").is_file()),
+            key=lambda p: p.stat().st_mtime, reverse=True)
+        for cj in candidates:
+            try:
+                seed_cfg = PipelineConfig.from_json(
+                    cj.read_text(),
+                    checkpoint_path=str(cj.parent / "asr.npz"))
+            except Exception:
+                continue
+            if (seed_cfg.encoder.d_model, seed_cfg.encoder.n_layers) == (
+                    flagship.encoder.d_model, flagship.encoder.n_layers):
+                cfg, weights_src = seed_cfg, f"seed:{cj.parent.name}"
+                break
 
     def measure(batch_windows: int, ingress: str, reps: int = 8):
         """End-to-end RTF for one serving configuration (median of reps)."""
@@ -216,7 +237,8 @@ def main() -> None:
         "model": {"d_model": cfg.encoder.d_model,
                   "n_layers": cfg.encoder.n_layers,
                   "params": n_params,
-                  "trained": cfg.checkpoint_path is not None},
+                  "trained": cfg.checkpoint_path is not None,
+                  "weights": weights_src},
     }))
     # Context for humans (stderr, not part of the contract).
     print(f"# backend={jax.default_backend()} devices={len(jax.devices())} "

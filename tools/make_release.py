@@ -47,8 +47,23 @@ def main() -> None:
     asr = load_checkpoint(ckpt / "asr", cfg)
     save_release(out / "asr.npz", asr)
     # Self-describing release: engines rebuild this exact model config
-    # (PipelineConfig.from_env reads it next to the weights).
-    (out / "config.json").write_text(cfg.to_json())
+    # (PipelineConfig.from_env reads it next to the weights). Trainer
+    # configs carry no decode section, but the outgoing release's decode
+    # block holds tuned serve-time operating points (e.g. the AHC merge
+    # threshold swept in evals/r3/diar_xvector_v2.json) — promotion of new
+    # weights must not silently reset them.
+    import json
+
+    cfg_json = json.loads(cfg.to_json())
+    old_cfg_file = out / "config.json"
+    if not cfg_json.get("decode") and old_cfg_file.is_file():
+        try:
+            old_decode = json.loads(old_cfg_file.read_text()).get("decode")
+        except Exception:
+            old_decode = None
+        if old_decode:
+            cfg_json["decode"] = old_decode
+    (out / "config.json").write_text(json.dumps(cfg_json, indent=1))
 
     for name, n_layers in (("translator", 4), ("summarizer", 2)):
         src = ckpt / name
