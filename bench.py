@@ -99,19 +99,33 @@ def main() -> None:
     # (identical FLOPs/bytes — a perf measurement, not a quality one).
     cfg = PipelineConfig.from_env()
     flagship = PipelineConfig()
+
+    def is_flagship(c: PipelineConfig) -> bool:
+        # Full model-defining identity, not just (d_model, n_layers): a
+        # seed with non-default heads/ffn/MoE/frontend/vocab would change
+        # FLOPs and bytes and silently break round-over-round
+        # comparability (frozen dataclasses compare by value).
+        return (c.encoder == flagship.encoder
+                and c.frontend == flagship.frontend
+                and c.vocab == flagship.vocab)
+
     weights_src = "release" if cfg.checkpoint_path else "random"
-    if (cfg.encoder.d_model, cfg.encoder.n_layers) != (
-            flagship.encoder.d_model, flagship.encoder.n_layers):
+    if not is_flagship(cfg):
         # The discovered release is not flagship-sized. Before falling back
         # to random-init, look for a committed flagship training seed
         # (asr.npz + self-describing config.json, e.g.
         # checkpoints/r5_d512x12_seed/): trained weights at identical
         # FLOPs/bytes make the headline measure a real model honestly.
         cfg, weights_src = flagship, "random"
+        # Repo-root-relative (like zoo.default_release_dir) so running
+        # bench.py from another CWD still finds committed seeds; name-
+        # descending order is deterministic across clones (git does not
+        # preserve mtimes) and prefers the newest round's seed.
+        ckpt_root = Path(__file__).resolve().parent / "checkpoints"
         candidates = sorted(
-            (p for p in Path("checkpoints").glob("*/config.json")
+            (p for p in ckpt_root.glob("*/config.json")
              if (p.parent / "asr.npz").is_file()),
-            key=lambda p: p.stat().st_mtime, reverse=True)
+            key=lambda p: p.parent.name, reverse=True)
         for cj in candidates:
             try:
                 seed_cfg = PipelineConfig.from_json(
@@ -119,8 +133,7 @@ def main() -> None:
                     checkpoint_path=str(cj.parent / "asr.npz"))
             except Exception:
                 continue
-            if (seed_cfg.encoder.d_model, seed_cfg.encoder.n_layers) == (
-                    flagship.encoder.d_model, flagship.encoder.n_layers):
+            if is_flagship(seed_cfg):
                 cfg, weights_src = seed_cfg, f"seed:{cj.parent.name}"
                 break
 

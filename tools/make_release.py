@@ -62,6 +62,28 @@ def main() -> None:
         except Exception:
             old_decode = None
         if old_decode:
+            # The preserved block must still parse under the CURRENT
+            # DecodeConfig schema — a renamed/removed field would otherwise
+            # make every future engine start raise TypeError in
+            # PipelineConfig.from_json (promotion would perpetuate an
+            # unloadable config). Drop it rather than ship it broken.
+            from omnilingual_asr_tpu.config import DecodeConfig
+
+            try:
+                DecodeConfig(**old_decode)
+            except TypeError as e:
+                print(f"DROP preserved decode block (schema mismatch: {e})")
+                old_decode = None
+        if old_decode and args.xvector and "ahc_threshold" in old_decode:
+            # The AHC merge threshold was swept against the OUTGOING
+            # speaker embedder (evals/r3/diar_xvector_v2.json); carrying it
+            # onto new xvector embeddings attaches a stale operating point.
+            # Drop it so the new embedder re-sweeps from the default.
+            print("DROP preserved decode.ahc_threshold: new --xvector ships "
+                  "with this promotion; re-sweep the threshold against it")
+            old_decode = {k: v for k, v in old_decode.items()
+                          if k != "ahc_threshold"} or None
+        if old_decode:
             cfg_json["decode"] = old_decode
     (out / "config.json").write_text(json.dumps(cfg_json, indent=1))
 
