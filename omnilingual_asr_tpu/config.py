@@ -172,6 +172,21 @@ class DecodeConfig:
     #                                   over the AHC labels (cluster.py
     #                                   resegment_labels); default flips
     #                                   only on a measured DER win
+    wire_pack: bool = True            # pack all per-batch head outputs into
+    #                                   ONE uint8 device buffer so each
+    #                                   batch costs a single D2H round trip
+    #                                   (ops/pack.py — BENCH_r04 put the
+    #                                   serving wall at the tunnel link,
+    #                                   not FLOPs). Bitcast-exact.
+    spk_frame_stride: int = 1         # device-side mean-pool of speaker
+    #                                   frames before the wire (2 halves the
+    #                                   largest D2H payload; host restores
+    #                                   frame rate by repetition). Flip only
+    #                                   on measured DER parity.
+    spk_wire: str = "f16"             # speaker-frame wire dtype: "f16" or
+    #                                   "i8" (per-frame absmax int8 quant,
+    #                                   4x smaller; clustering uses cosine
+    #                                   distances, which survive it)
 
 
 @dataclass(frozen=True)

@@ -448,15 +448,30 @@ class TranscriptionEngine:
                 from .models.xvector import xvector_frames
 
                 spk_frames = xvector_frames(params["xvector"], mel, mask)
+            # Optional wire slimming for the largest payload (decode knobs;
+            # defaults are off/f16 — flipped only on measured DER parity).
+            stride = max(1, cfg.decode.spk_frame_stride)
+            if stride > 1:
+                T2 = spk_frames.shape[1] // stride
+                spk_frames = spk_frames[:, :T2 * stride].reshape(
+                    B, T2, stride, spk_frames.shape[-1]).mean(axis=2)
             ret = {
                 "ctc_ids": ctc_ids.astype(jnp.int16),
                 "lid_ids": lid_ids.astype(jnp.int16),
                 "lid_conf": lid_conf.astype(jnp.float16),
                 "emotion_logits": out["emotion_logits"].astype(jnp.float16),
-                "speaker_frames": spk_frames.astype(jnp.float16),
                 "frame_energy": e_sub.astype(jnp.float16),
                 "mask": out["mask"],
             }
+            if cfg.decode.spk_wire == "i8":
+                scale = (jnp.max(jnp.abs(spk_frames), axis=-1, keepdims=True)
+                         .astype(jnp.float32) / 127.0 + 1e-12)
+                q = jnp.clip(jnp.round(spk_frames.astype(jnp.float32) / scale),
+                             -127, 127).astype(jnp.int8)
+                ret["speaker_frames_q"] = q
+                ret["speaker_scale"] = scale[..., 0].astype(jnp.float16)
+            else:
+                ret["speaker_frames"] = spk_frames.astype(jnp.float16)
             if cfg.decode.beam_size > 1:
                 # Prefix beam search runs on host (ops/beam.py) over the
                 # per-frame top-K classes; ship the compact [B,T',K] slices.
@@ -475,11 +490,30 @@ class TranscriptionEngine:
                     jnp.float16)
             return ret
 
-        self._process = jax.jit(
-            process,
-            in_shardings=(param_shardings, samples_sharding, nvalid_sharding,
-                          None),
-        )
+        in_shardings = (param_shardings, samples_sharding, nvalid_sharding,
+                        None)
+        if cfg.decode.wire_pack:
+            # One-buffer D2H wire: bitcast-concatenate the whole output
+            # tree on device (ops/pack.py) so collecting a batch is a
+            # single transfer instead of 7+ round trips over the link.
+            from .ops.pack import layout_of, pack_tree
+
+            def process_packed(params, samples_w, n_valid_frames, ctc_mask):
+                return pack_tree(process(params, samples_w, n_valid_frames,
+                                         ctc_mask))
+
+            wire_dt = jnp.uint8 if self.ingress == "mulaw" else jnp.int16
+            spec = jax.eval_shape(
+                process, self.params,
+                jax.ShapeDtypeStruct((self.batch_size, self.window_samples),
+                                     wire_dt),
+                jax.ShapeDtypeStruct((self.batch_size,), jnp.int32),
+                jax.ShapeDtypeStruct((cfg.vocab.vocab_size,), jnp.float32))
+            self._out_layout = layout_of(spec)
+            self._process = jax.jit(process_packed, in_shardings=in_shardings)
+        else:
+            self._out_layout = None
+            self._process = jax.jit(process, in_shardings=in_shardings)
 
     # ------------------------------------------------------------------
     # Health / fault handling (SURVEY §5 failure-detection row)
@@ -686,12 +720,31 @@ class TranscriptionEngine:
         # Phase 2: collect to host, one completed batch at a time.
         n_batches = len(pending)
         for bi, (batch, out) in enumerate(pending):
+            if self._out_layout is not None:
+                # Packed wire: ONE D2H pull, then zero-copy host views.
+                from .ops.pack import unpack_buffer
+
+                out = unpack_buffer(np.asarray(out), self._out_layout)
             ctc = np.asarray(out["ctc_ids"])
             lid = np.asarray(out["lid_ids"])
             lconf = np.asarray(out["lid_conf"], dtype=np.float32)
             emo = np.asarray(out["emotion_logits"], dtype=np.float32)
-            spk = np.asarray(out["speaker_frames"], dtype=np.float32)
+            if "speaker_frames_q" in out:
+                spk = (np.asarray(out["speaker_frames_q"], dtype=np.float32)
+                       * np.asarray(out["speaker_scale"],
+                                    dtype=np.float32)[..., None])
+            else:
+                spk = np.asarray(out["speaker_frames"], dtype=np.float32)
             sub_mask = np.asarray(out["mask"])
+            stride = max(1, cfg.decode.spk_frame_stride)
+            if stride > 1:
+                # Restore the frame rate by repetition (pooling halved it);
+                # pad the tail frames lost to the floor division.
+                spk = np.repeat(spk, stride, axis=1)
+                short = sub_mask.shape[1] - spk.shape[1]
+                if short > 0:
+                    spk = np.concatenate(
+                        [spk, np.repeat(spk[:, -1:], short, axis=1)], axis=1)
             enc = (np.asarray(out["encoder_states"], dtype=np.float32)
                    if "encoder_states" in out else None)
             tk_lp = (np.asarray(out["ctc_topk_logp"], dtype=np.float32)

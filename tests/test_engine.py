@@ -233,6 +233,10 @@ class TestFaultHandling:
         mask = jnp.zeros((engine.config.vocab.vocab_size,), jnp.float32)
         out = engine._dispatch_batch(sb, nb, mask)
         assert len(calls) == 2
+        if engine._out_layout is not None:   # packed single-buffer wire
+            from omnilingual_asr_tpu.ops.pack import unpack_buffer
+
+            out = unpack_buffer(np.asarray(out), engine._out_layout)
         assert "ctc_ids" in out
 
 
