@@ -137,9 +137,16 @@ def main() -> None:
                 cfg, weights_src = seed_cfg, f"seed:{cj.parent.name}"
                 break
 
-    def measure(batch_windows: int, ingress: str, reps: int = 8):
+    def measure(batch_windows: int, ingress: str, reps: int = 8,
+                decode_overrides: dict | None = None):
         """End-to-end RTF for one serving configuration (median of reps)."""
-        engine = TranscriptionEngine(config=cfg,
+        import dataclasses as _dc
+
+        mcfg = cfg
+        if decode_overrides:
+            mcfg = cfg.replace(
+                decode=_dc.replace(cfg.decode, **decode_overrides))
+        engine = TranscriptionEngine(config=mcfg,
                                      batch_windows_per_device=batch_windows,
                                      ingress=ingress)
         engine.transcribe(wav)   # compile + link warmup
@@ -154,6 +161,11 @@ def main() -> None:
                   if engine.last_trace is not None else {})
         return {
             "batch_windows": batch_windows, "ingress": ingress,
+            "decode": decode_overrides or {},
+            # spk wire/stride change the shipped embeddings; they only
+            # become the headline after a measured DER-parity flip of the
+            # DecodeConfig defaults.
+            "quality_neutral": not decode_overrides,
             "median_s": round(med, 4), "best_s": round(min(times), 4),
             "rtf": round(AUDIO_SECONDS / med, 1),
             "stages_s": {k: round(v, 4) for k, v in stages.items()},
@@ -166,12 +178,20 @@ def main() -> None:
     # across the windows of one file instead of one serial mega-batch).
     headline, engine, result = measure(8, "i16")    # pinned r02/r03 config
     sweeps = [headline]
-    for bw, ing in ((8, "mulaw"), (4, "mulaw"), (2, "mulaw")):
+    for bw, ing, dec in (
+            (8, "mulaw", None),
+            (4, "i16", None),          # 2 batches: H2D/compute/D2H overlap
+            (4, "mulaw", None),
+            (8, "i16", {"spk_wire": "i8"}),
+            (8, "i16", {"spk_wire": "i8", "spk_frame_stride": 2}),
+            (4, "i16", {"spk_wire": "i8", "spk_frame_stride": 2})):
         try:
-            sweeps.append(measure(bw, ing)[0])
+            sweeps.append(measure(bw, ing, decode_overrides=dec)[0])
         except Exception as e:  # pragma: no cover — keep the headline alive
-            print(f"# sweep ({bw},{ing}) failed: {e}", file=sys.stderr)
-    tuned = max(sweeps, key=lambda r: r["rtf"])
+            print(f"# sweep ({bw},{ing},{dec}) failed: {e}", file=sys.stderr)
+    neutral = [r for r in sweeps if r["quality_neutral"]]
+    tuned = max(neutral, key=lambda r: r["rtf"])
+    tuned_any = max(sweeps, key=lambda r: r["rtf"])
 
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(engine.params))
@@ -245,6 +265,10 @@ def main() -> None:
         "headline_i16_b8_rtf": headline["rtf"],   # r02/r03-comparable row
         "tuned": {"batch_windows": tuned["batch_windows"],
                   "ingress": tuned["ingress"]},
+        "tuned_lossy": {"batch_windows": tuned_any["batch_windows"],
+                        "ingress": tuned_any["ingress"],
+                        "decode": tuned_any["decode"],
+                        "rtf": tuned_any["rtf"]},
         "sweep": sweeps,
         "diag": diag,
         "model": {"d_model": cfg.encoder.d_model,
