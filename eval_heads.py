@@ -101,6 +101,50 @@ def main():
     if trans_words:
         report["translation_word_acc"] = round(trans_ok / trans_words, 4)
 
+    # Real-acoustic rows (VERDICT r4 item 8): channel-augmented crops of
+    # the bundled REAL recording validate LID-English and emotion-neutral
+    # beyond the synthesizer's distribution. Windows come from the EAF
+    # hold-out tail (never trained on); each is passed through the same
+    # room/channel simulator training used, at fresh random draws.
+    import numpy as np
+
+    from omnilingual_asr_tpu.train.synth import _channel_sim, real_corpus
+
+    _, real_windows = real_corpus()
+    if real_windows:
+        rng = np.random.default_rng(88_000)
+        r_lid = r_lid_ok = r_emo = r_emo_ok = 0
+        for i, w in enumerate(real_windows):
+            # clean + 4 independent channel draws per window (the hold-out
+            # tail is short — one window on the 10 s gettysburg file — so
+            # augmentation draws carry the sample size)
+            for aug in range(5):
+                x = _channel_sim(w["samples"], rng) if aug else w["samples"]
+                p = out_dir / f"real_{i:02d}_{int(aug)}.wav"
+                write_wav(p, x)
+                segs = engine.transcribe(p).segments
+                if not segs:
+                    continue
+                def rmaj(field):
+                    w2 = collections.Counter()
+                    for s in segs:
+                        v = getattr(s, field, None)
+                        if v:
+                            w2[v] += max(0.0, s.end - s.start)
+                    return w2.most_common(1)[0][0] if w2 else None
+
+                r_lid += 1
+                r_lid_ok += rmaj("language") == w["language"]
+                r_emo += 1
+                r_emo_ok += rmaj("emotion") == "neutral"
+        if r_lid:
+            report["real"] = {
+                "lid_en_acc": round(r_lid_ok / r_lid, 4),
+                "emotion_neutral_acc": round(r_emo_ok / r_emo, 4),
+                "n_windows": r_lid,
+                "source": "gettysburg hold-out tail, channel-augmented",
+            }
+
     if args.summarizer:
         # Free-text summary scoring: the reference's summary names the
         # speaker count and overall tone (gemini_pipeline.py:126-129, prompt
