@@ -19,8 +19,9 @@ Hebrew, CJK, Devanagari, Thai, ...). Coverage is lexical and phrasal —
 dates, durations, names, places — not open-domain prose; the synthetic
 grammar corpus (text_translator_train.draw_grammar_pair) continues to
 carry sentence-level reordering/morphology. Pairs are split train/held-out
-by a stable hash so the held-out metric measures generalization, not
-recall of the training rows.
+by a stable hash of the ENGLISH target template (all locales' renderings
+of one phrase land on one side — see build_real_corpus), so the held-out
+metric measures generalization, not recall of near-duplicate rows.
 """
 
 from __future__ import annotations
@@ -196,9 +197,21 @@ def _locale_iso(locale_id: str) -> str:
 
 
 def build_real_corpus(extra_locales: Optional[List[str]] = None,
-                      heldout_every: int = 10) -> dict:
-    """All pair sources merged, split train/held-out by a stable hash of
-    the pair (so the held-out set never appears in training draws).
+                      heldout_every: int = 10,
+                      heldout_by: str = "template") -> dict:
+    """All pair sources merged, split train/held-out by a stable hash.
+
+    heldout_by="template" (default, VERDICT r4 item 7): the hash is over
+    the normalized ENGLISH target template, so every variant of a phrase —
+    all 60+ locales' renderings, singular and plural forms — lands on ONE
+    side. Under the old per-pair split, "1 hora"↔"{0} hour" could be
+    held out while "{0} hour" still trained through 59 sibling locales;
+    held-out accuracy partly measured that near-duplicate leak. (A split
+    by literal source *package* is not usable here: the box has exactly
+    two pair sources — humanize gettext and babel CLDR — and holding out
+    a whole package makes the held-out vocabulary disjoint from training,
+    which no translator can pass.) heldout_by="pair" keeps the legacy
+    split for comparability.
 
     Returns {"train": {iso: [(src,tgt)...]}, "heldout": same,
     "n_train": int, "n_heldout": int, "languages": [iso...]}.
@@ -229,9 +242,11 @@ def build_real_corpus(extra_locales: Optional[List[str]] = None,
             if src.count("{0}") != tgt.count("{0}"):
                 continue
             seen.add((src, tgt))
-            h = int.from_bytes(
-                hashlib.md5(f"{iso}|{src}|{tgt}".encode()).digest()[:4],
-                "big")
+            if heldout_by == "template":
+                key = f"tpl|{_norm_placeholders(tgt).lower().strip()}"
+            else:
+                key = f"{iso}|{src}|{tgt}"
+            h = int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big")
             (heldout if h % heldout_every == 0 else train).setdefault(
                 iso, []).append((src, tgt))
     return {
