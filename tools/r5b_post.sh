@@ -62,4 +62,14 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   log "attempt not usable; retry in 5 min"
   sleep 300
 done
+# Translation artifact from whatever stage-T run exists (CPU-only).
+if [ -s checkpoints/r5_translator/metrics.jsonl ]; then
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    python tools/translation_artifact.py \
+      --metrics checkpoints/r5_translator/metrics.jsonl \
+      --out evals/r5/translation.json && \
+  git add evals/r5/translation.json >/dev/null 2>&1 \
+    && git commit -q -m "Translation eval artifact (template-held-out split)" \
+    && log "translation artifact committed"
+fi
 log "post work done"
