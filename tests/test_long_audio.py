@@ -122,7 +122,11 @@ class TestStreamedWindows:
         assert n_last == len(samples) - (n_win - 1) * eng.window_samples
         for (o1, w1), (o2, w2) in zip(win_iter, ref):
             assert o1 == o2
-            np.testing.assert_allclose(w1, w2, atol=1e-6)
+            # streamed windows stay int16 (wire-ready, no f32 round trip);
+            # normalize for comparison with the full-decode f32 windows
+            assert w1.dtype == np.int16
+            np.testing.assert_allclose(
+                w1.astype(np.float32) * (1.0 / 32768.0), w2, atol=1e-6)
 
     def test_non_wav_falls_back(self, tmp_path):
         from omnilingual_asr_tpu.engine import TranscriptionEngine
