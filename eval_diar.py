@@ -66,6 +66,12 @@ def main():
     ap.add_argument("--resegment", action="store_true",
                     help="VBx-style speaker-HMM Viterbi pass over the AHC "
                          "labels (DecodeConfig.resegment)")
+    ap.add_argument("--spk-wire", default=None, choices=["f16", "i8"],
+                    help="speaker-frame wire dtype override (DecodeConfig"
+                         ".spk_wire) — DER-parity check for the int8 wire")
+    ap.add_argument("--spk-stride", type=int, default=None,
+                    help="speaker-frame device pooling stride override "
+                         "(DecodeConfig.spk_frame_stride)")
     args = ap.parse_args()
 
     import os
@@ -103,6 +109,10 @@ def main():
             dec_over["count_mode"] = args.count_mode
         if args.resegment:
             dec_over["resegment"] = True
+        if args.spk_wire:
+            dec_over["spk_wire"] = args.spk_wire
+        if args.spk_stride:
+            dec_over["spk_frame_stride"] = args.spk_stride
         if dec_over:
             c = cfg.replace(decode=dataclasses.replace(
                 cfg.decode, **dec_over))

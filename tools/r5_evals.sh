@@ -40,6 +40,9 @@ run diar_reseg eval_diar.py "${CK[@]}" --n 16 --resegment
 run diar_eigengap_reseg eval_diar.py "${CK[@]}" --n 16 \
   --count-mode eigengap --resegment
 run synth_lm eval_synth.py "${CK[@]}" --n 64 --beam 8
+# DER parity for the compressed speaker wire (flips serving defaults only
+# if BOTH this row matches baseline DER and the bench shows the win).
+run diar_i8s2 eval_diar.py "${CK[@]}" --n 16 --spk-wire i8 --spk-stride 2
 
 # Flip the release's diarization defaults only on a measured win across
 # BOTH DER and speaker-count accuracy (VERDICT r4 item 4).
