@@ -191,13 +191,19 @@ def subsampled_mask(mask: jnp.ndarray, sub: int) -> jnp.ndarray:
 
 def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
                 cfg: PipelineConfig, flash_interpret: bool = False,
-                mesh=None):
+                mesh=None, dropout_rng=None):
     """Full forward pass.
 
     Args:
       params: pytree from asr_init.
       mel:  [B, T, n_mels] float32 log-mel (T a multiple of subsample_factor).
       mask: [B, T] bool, True on valid frames.
+      dropout_rng: training-only; when given and cfg.encoder.dropout > 0,
+        element-wise dropout is applied to the residual stream after the
+        input projection and after every block (inference never passes it,
+        so serving programs are untouched). The r5 d512 campaign measured
+        a generalization floor (train CTC ~0.04 vs held-out WER ~0.19)
+        with no dropout anywhere; this is the regularization hook.
 
     Returns dict with ctc/lid/emotion logits (f32), speaker embeddings
     (L2-normalized, f32) and the subsampled mask [B, T'].
@@ -206,10 +212,21 @@ def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
     dtype = jnp.dtype(enc.dtype)
     sub = enc.subsample_factor
 
+    drop_rate = enc.dropout if dropout_rng is not None else 0.0
+
+    def _drop(x, salt: int):
+        if drop_rate <= 0.0:
+            return x
+        k = jax.random.fold_in(dropout_rng, salt)
+        keep = 1.0 - drop_rate
+        keep_mask = jax.random.bernoulli(k, keep, x.shape)
+        return jnp.where(keep_mask, x / keep, 0.0).astype(x.dtype)
+
     x = subsample_frames(mel, sub)
     m = subsampled_mask(mask, sub)
     x = L.dense_apply(params["subsample"], x, dtype)
     x = L.layernorm_apply(params["in_ln"], x)
+    x = _drop(x, 0)
 
     Tp = x.shape[1]
     cos, sin = L.rope_angles(Tp, enc.head_dim)
@@ -222,9 +239,10 @@ def asr_forward(params, mel: jnp.ndarray, mask: jnp.ndarray,
         block_fn = jax.checkpoint(conformer_block_apply,
                                   static_argnums=(5, 6, 7, 8))
     moe_aux = jnp.zeros((), jnp.float32)
-    for blk in params["blocks"]:
+    for bi, blk in enumerate(params["blocks"]):
         x, aux = block_fn(blk, x, m, cos, sin, enc, dtype,
                           flash_interpret, mesh)
+        x = _drop(x, bi + 1)
         moe_aux = moe_aux + aux
 
     ctc = L.dense_apply(params["ctc_head"], x, dtype)

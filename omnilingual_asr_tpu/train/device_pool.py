@@ -84,7 +84,8 @@ def make_pool_train_step(cfg: PipelineConfig, mesh: Mesh,
                          with_translator: bool = False,
                          snr_range: Optional[Tuple[float, float]]
                          = (15.0, 40.0),
-                         gain_range: Tuple[float, float] = (0.7, 1.3)):
+                         gain_range: Tuple[float, float] = (0.7, 1.3),
+                         dropout: bool = False):
     """Returns (init_state, pool_step, refresh_pool).
 
     pool_step(params, opt_state, pool, idx, step, scalars) — one training
@@ -174,13 +175,16 @@ def make_pool_train_step(cfg: PipelineConfig, mesh: Mesh,
             aug = spec_augment(key, batch["mel"], batch["mask"], augment)
             w = batch.get("w_aug", 1.0)
             batch["mel"] = batch["mel"] + w * (aug - batch["mel"])
+        dkey = (jax.random.fold_in(jax.random.PRNGKey(1), step)
+                if dropout else None)
         if with_translator:
             def joint_loss(p, b):
                 return loss_fn(p["asr"], b, cfg,
-                               trans_params=p["translator"])
+                               trans_params=p["translator"],
+                               dropout_rng=dkey)
         else:
             def joint_loss(p, b):
-                return loss_fn(p, b, cfg)
+                return loss_fn(p, b, cfg, dropout_rng=dkey)
         (_, metrics), grads = jax.value_and_grad(
             joint_loss, has_aux=True)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)

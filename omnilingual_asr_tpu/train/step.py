@@ -74,7 +74,7 @@ def aam_softmax_loss(embed: jnp.ndarray, labels: jnp.ndarray,
 
 
 def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
-            trans_params=None):
+            trans_params=None, dropout_rng=None):
     """Joint multi-task loss.
 
     Always: CTC + 0.1*(LID CE + emotion CE).
@@ -86,7 +86,8 @@ def loss_fn(params, batch: Dict[str, jnp.ndarray], cfg: PipelineConfig,
       trans_in/trans_tgt/trans_mask [B,Lt] + trans_params -> teacher-forced
           X->English translation CE over the shared encoder states.
     """
-    out = asr_forward(params, batch["mel"], batch["mask"], cfg)
+    out = asr_forward(params, batch["mel"], batch["mask"], cfg,
+                      dropout_rng=dropout_rng)
     l_ctc_seq = ctc_loss(out["ctc_logits"], out["mask"], batch["labels"],
                          batch["label_mask"], blank_id=cfg.vocab.blank_id)
     # Normalize CTC to PER-LABEL-TOKEN nats: the per-sequence sum is ~40x
@@ -248,7 +249,8 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
                     from_samples: bool = False,
                     augment: Optional["SpecAugmentConfig"] = None,
                     batch_keys=None,
-                    with_translator: bool = False):
+                    with_translator: bool = False,
+                    dropout: bool = False):
     """Returns (init_state_fn, train_step_fn), both jitted over the mesh.
 
     GSPMD propagates param shardings into the optimizer state, so only
@@ -320,12 +322,15 @@ def make_train_step(cfg: PipelineConfig, mesh: Mesh,
             # recompiling; absent key = fully on
             w = batch.get("w_aug", 1.0)
             batch["mel"] = batch["mel"] + w * (aug - batch["mel"])
+        dkey = (jax.random.fold_in(jax.random.PRNGKey(1), step)
+                if dropout else None)
         if with_translator:
             def joint_loss(p, b):
-                return loss_fn(p["asr"], b, cfg, trans_params=p["translator"])
+                return loss_fn(p["asr"], b, cfg, trans_params=p["translator"],
+                               dropout_rng=dkey)
         else:
             def joint_loss(p, b):
-                return loss_fn(p, b, cfg)
+                return loss_fn(p, b, cfg, dropout_rng=dkey)
         (_, metrics), grads = jax.value_and_grad(
             joint_loss, has_aux=True)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)

@@ -188,7 +188,8 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
                 english_fraction: float = 0.0, voice_match: float = 0.0,
                 english_sentences: float = 0.0, real_fraction: float = 0.15,
                 select: str = "synth", select_synth_cap: float = 0.08,
-                device_pool: int = 0, pool_refresh_every: int = 150):
+                device_pool: int = 0, pool_refresh_every: int = 150,
+                dropout: float = 0.0, weight_decay: float = 1e-6):
     mesh = build_mesh(cfg.mesh)
     use_pool = device_pool > 0
     if use_pool:
@@ -298,7 +299,17 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
     # completes at this invocation's end as before.
     horizon = max(total_steps or steps, warmup_steps + 1)
     tx = make_optimizer(lr=lr, warmup_steps=warmup_steps,
-                        decay_steps=horizon)
+                        decay_steps=horizon, weight_decay=weight_decay)
+    # Opt-in training dropout (models/conformer.asr_forward dropout_rng):
+    # --dropout R overrides cfg.encoder.dropout and switches the step's
+    # dropout rng on. Off by default — existing recipes are unchanged.
+    use_dropout = dropout > 0.0
+    if use_dropout:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(encoder=_dc.replace(cfg.encoder, dropout=dropout))
+        print(f"training dropout: {dropout} (weight decay {weight_decay})",
+              flush=True)
     # milder than the ASR default: synthetic units are short (one char
     # ~= 2-3 subsampled frames), so 0.6 s time masks would erase whole
     # words of supervision
@@ -312,7 +323,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
 
         init_state, pool_step, refresh_pool = make_pool_train_step(
             cfg, mesh, tx=tx, augment=aug_cfg, with_translator=True,
-            snr_range=(15.0, 40.0))
+            snr_range=(15.0, 40.0), dropout=use_dropout)
         print(f"building device pool: {device_pool} entries "
               f"({wire} wire)...", flush=True)
         refresh_iter = iter(batcher)
@@ -334,7 +345,7 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
             batch_keys=tuple(sample.keys()) + ("w_spk", "w_trans", "w_aug",
                                                "w_fce", "w_ctc"),
             with_translator=True,
-            augment=aug_cfg)
+            augment=aug_cfg, dropout=use_dropout)
     state = init_state(seed=seed)
     params, opt_state, step = state.params, state.opt_state, state.step
     start_step = 0
@@ -630,6 +641,13 @@ def main():
                     help="train CTC(+frame-CE) only: zero the speaker/"
                          "translation/SpecAugment weights for the whole "
                          "run (no length restriction)")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="training-time residual-stream dropout rate "
+                         "(0 = off, the legacy behavior; regularization "
+                         "for capacity-rich rungs whose train CTC reaches "
+                         "~0.04 while held-out WER plateaus)")
+    ap.add_argument("--weight-decay", type=float, default=1e-6,
+                    help="AdamW decoupled weight decay")
     args = ap.parse_args()
 
     if args.tiny:
@@ -681,7 +699,8 @@ def main():
                 select=args.select,
                 select_synth_cap=args.select_synth_cap,
                 device_pool=args.device_pool,
-                pool_refresh_every=args.pool_refresh_every)
+                pool_refresh_every=args.pool_refresh_every,
+                dropout=args.dropout, weight_decay=args.weight_decay)
 
 
 if __name__ == "__main__":

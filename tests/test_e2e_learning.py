@@ -62,7 +62,10 @@ def test_overfit_and_decode_exactly():
     }
 
     first = last = None
-    for it in range(400):
+    # 600 iterations: at 400 the 4-utterance overfit sat right at the
+    # assertion edge (mean CER 0.167 vs the 0.15 bound, 'aba' unlearned)
+    # on this host — the margin is training, not a looser bound.
+    for it in range(600):
         params, opt_state, step, metrics = train_step(
             params, opt_state, batch, step)
         loss = float(metrics["ctc"])
