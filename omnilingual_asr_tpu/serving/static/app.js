@@ -1173,12 +1173,13 @@ function buildSpecRegion(data, sr, url, t0, t1, colsPerSec, H, maxHz) {
   }
   ctx.putImageData(img, 0, 0);
 
-  // Formant overlay (F1-F3): smoothed-spectrum peak picking per column
-  // in 200-4000 Hz, Okabe-Ito colors, drawn on the mel axis.
+  // Formant overlay (F1-F4): smoothed-spectrum peak picking per column
+  // in 200-4500 Hz, Okabe-Ito colors, drawn on the mel axis (the
+  // reference's viewer tracks four formants — public/static/app.js).
   const binHz = sr / NFFT;
   const loBin = Math.max(1, Math.floor(200 / binHz));
-  const hiBin = Math.min(NFFT / 2 - 2, Math.ceil(Math.min(4000, maxHz) / binHz));
-  const F_COLORS = ["#E69F00", "#56B4E9", "#009E73"];
+  const hiBin = Math.min(NFFT / 2 - 2, Math.ceil(Math.min(4500, maxHz) / binHz));
+  const F_COLORS = ["#E69F00", "#56B4E9", "#009E73", "#CC79A7"];
   for (let x = 0; x < cols; x += 2) {
     const re = new Float32Array(NFFT), im = new Float32Array(NFFT);
     const off = s0 + x * hop;
@@ -1196,7 +1197,7 @@ function buildSpecRegion(data, sr, url, t0, t1, colsPerSec, H, maxHz) {
       if (mag[b_] > magMax) magMax = mag[b_];
     }
     const peaks = [];
-    for (let b_ = loBin + 2; b_ <= hiBin - 2 && peaks.length < 3; b_++) {
+    for (let b_ = loBin + 2; b_ <= hiBin - 2 && peaks.length < 4; b_++) {
       const sm = (bb) => (mag[bb - 1] + mag[bb] + mag[bb + 1]) / 3;
       if (sm(b_) > sm(b_ - 1) && sm(b_) > sm(b_ + 1) &&
           sm(b_) > 0.05 * magMax) {
