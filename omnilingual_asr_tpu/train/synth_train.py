@@ -355,7 +355,21 @@ def train_synth(*, steps: int, batch_size: int, cfg: PipelineConfig,
         from ..models.zoo import load_checkpoint
 
         asr = load_checkpoint(Path(resume_from) / "asr", cfg)
-        trans = load_translator(Path(resume_from) / "translator", cfg)
+        try:
+            trans = load_translator(Path(resume_from) / "translator", cfg)
+            jax.tree.map(lambda a, b: None, trans, params["translator"])
+        except (ValueError, TypeError, KeyError) as e:
+            # A trunk reconstructed from a RELEASE carries the shipped
+            # TEXT-mode translator (embed/pos decoder over transcript
+            # bytes), whose tree does not match the joint audio-mode
+            # decoder this trainer trains through the encoder states.
+            # The joint translator is re-trained from step one anyway, so
+            # a fresh init is the correct fallback — only the ASR trunk's
+            # warm start matters.
+            print(f"translator resume skipped (structure mismatch: "
+                  f"{str(e)[:120]}); joint translator starts fresh",
+                  flush=True)
+            trans = jax.device_get(params["translator"])
         params = jax.device_put(
             {"asr": asr, "translator": trans},
             jax.tree.map(lambda x: x.sharding, params))
