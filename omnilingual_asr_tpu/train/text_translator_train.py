@@ -463,7 +463,20 @@ def train_translator(out_dir: str, *, steps: int = 4000,
                        "n_eval": n_eval, "mode": "text"}}
     emit(report)
     out = Path(out_dir)
+    # Orbax REPLACES the target directory on save; if the metrics log lives
+    # inside it (as the round-5 queue arranged), the save would silently
+    # destroy the run's whole eval history — and with it the queue's ship
+    # gate input. Stash and restore it around the save.
+    stash = None
+    if metrics_path is not None:
+        try:
+            if metrics_path.resolve().is_relative_to(out.resolve()):
+                stash = metrics_path.read_bytes()
+        except (OSError, ValueError):
+            stash = None
     save_translator(out, best_params)
+    if stash is not None:
+        metrics_path.write_bytes(stash)
     print(f"saved text translator -> {out}", flush=True)
     return best_params, best_acc
 

@@ -340,3 +340,35 @@ class TestRealPairs:
         assert "a minute ago" in ids
         assert "%d minute" in ids
         assert "nd" not in ids  # msgctxt fragments skipped
+
+
+class TestTrainerSaveLayout:
+    def test_metrics_log_survives_save_into_out_dir(self, tmp_path,
+                                                    monkeypatch):
+        """Orbax replaces the --out directory on save; a metrics log placed
+        inside it (as the round-5 queue did) must be stashed and restored
+        (the round-5 stage-T ship gate read acc 0.0 from the vanished log)."""
+        import omnilingual_asr_tpu.train.real_pairs as rp
+
+        # keep the unit test off the slow on-box gettext/CLDR corpus scan
+        monkeypatch.setattr(rp, "build_real_corpus",
+                            lambda *a, **kw: {"n_train": 0})
+        from omnilingual_asr_tpu.train.text_translator_train import \
+            train_translator
+
+        out = tmp_path / "trunk"
+        train_translator(str(out), steps=2, batch_size=2, n_eval=2,
+                         eval_every=2, tiny=True,
+                         metrics_log=str(out / "metrics.jsonl"))
+        log = out / "metrics.jsonl"
+        assert log.exists(), "orbax save destroyed the in-dir metrics log"
+        assert any('"eval"' in ln for ln in log.read_text().splitlines())
+        # and the checkpoint itself must still load
+        import jax
+
+        from omnilingual_asr_tpu.config import tiny_config
+        from omnilingual_asr_tpu.models.translation import (is_text_translator,
+                                                            load_translator)
+
+        params = load_translator(out, tiny_config(), n_layers=4)
+        assert is_text_translator(params)
