@@ -26,7 +26,7 @@ import math
 import os
 import time
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1140,6 +1140,22 @@ class TranscriptionEngine:
         decoded, seg_meta, embedders, states = parts
         lang_hint_id = lang_table.id_for_language(language) if language else -1
 
+        # Sub-stage wall times, merged into the trace as "assemble.<k>" by
+        # transcribe() — the 9.5 h envelope is assemble-bound and the split
+        # (cluster vs segments vs translate vs summary) decides what to
+        # optimize (evals/r5/long.json: assemble 104 s of a 236 s wall).
+        import time as _time_mod
+
+        prof: Dict[str, float] = {}
+        self._assemble_prof = prof
+        _t0 = _time_mod.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = _time_mod.perf_counter()
+            prof[name] = prof.get(name, 0.0) + (now - _t0)
+            _t0 = now
+
         if not decoded:
             return TranscriptionResult(summary=None, segments=[],
                                        detected_languages=None)
@@ -1184,6 +1200,7 @@ class TranscriptionEngine:
                                   threshold=th,
                                   count_mode=cfg.decode.count_mode,
                                   resegment=cfg.decode.resegment)
+        _mark("cluster")
 
         # --- languages + emotions per segment ---
         segments: List[TranscriptSegment] = []
@@ -1227,9 +1244,11 @@ class TranscriptionEngine:
                 #                    gemini_pipeline.py:176-179)
                 words=s.words,
             ))
+        _mark("segments")
 
         if self._translator is not None:
             self._translate_segments(segments, seg_meta)
+        _mark("translate")
 
         n_speakers = int(labels.max()) + 1 if len(labels) else 0
         top_emotion = EMOTIONS[int(np.argmax(emotion_counts))]
@@ -1264,6 +1283,7 @@ class TranscriptionEngine:
                         neural, n_speakers=n_speakers,
                         tone=top_emotion):
                     summary = neural
+        _mark("summary")
         return TranscriptionResult(
             summary=summary,
             segments=segments,
@@ -1532,6 +1552,9 @@ class TranscriptionEngine:
                                         speaker_count=speaker_count,
                                         duration_s=duration_s,
                                         samples=samples)
+            trace.stages.update(
+                {f"assemble.{k}": round(v, 2)
+                 for k, v in getattr(self, "_assemble_prof", {}).items()})
         else:
             if not use_stream:
                 windows = self._windows(samples)
@@ -1569,6 +1592,9 @@ class TranscriptionEngine:
                     parts or ([], [], set(), []), language=language,
                     speaker_count=speaker_count,
                     duration_s=duration_s, samples=samples)
+            trace.stages.update(
+                {f"assemble.{k}": round(v, 2)
+                 for k, v in getattr(self, "_assemble_prof", {}).items()})
         self.last_trace = trace
         trace.log(file=audio_path.name)
         _report("done", 3)
