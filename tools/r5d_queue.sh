@@ -240,15 +240,18 @@ if before "$TAIL_DEADLINE"; then
     mkdir -p "$TOUT"
     SECS=$(secs_to "$TAIL_DEADLINE"); [ "$SECS" -gt 2700 ] && SECS=2700
     log "stage T: text-mode translator (cap ${SECS}s)"
+    # metrics/train logs live OUTSIDE $TOUT: the trainer's orbax save
+    # replaces the $TOUT directory wholesale (measured: stage T this round
+    # destroyed its own metrics log and failed the ship gate on acc 0.0)
     timeout "$SECS" python -u -m omnilingual_asr_tpu.train.text_translator_train \
         --steps 24000 --batch-size 128 --lr 1e-3 \
-        --out "$TOUT" --metrics-log "$TOUT/metrics.jsonl" \
-        > "$TOUT/train.log" 2>&1
+        --out "$TOUT" --metrics-log "$TOUT.metrics.jsonl" \
+        > "$TOUT.train.log" 2>&1
     log "stage T rc=$?"
     ACC=$(python - <<'PY'
 import json, pathlib
 acc = 0.0
-p = pathlib.Path("checkpoints/r5_translator/metrics.jsonl")
+p = pathlib.Path("checkpoints/r5_translator.metrics.jsonl")
 if p.exists():
     for line in p.read_text().splitlines():
         try:
@@ -278,7 +281,7 @@ PY
     fi
     env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
       python tools/translation_artifact.py \
-        --metrics "$TOUT/metrics.jsonl" --out evals/r5/translation.json \
+        --metrics "$TOUT.metrics.jsonl" --out evals/r5/translation.json \
         >> /tmp/r5d.log 2>&1
     git add evals/r5/translation.json >/dev/null 2>&1 \
       && git commit -q -m "Translation eval artifact (template-held-out split)" || true
