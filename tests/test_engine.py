@@ -127,8 +127,12 @@ class TestEngineContract:
         tr = engine.last_trace
         assert tr is not None
         # round-4 pipelined path: per-window extraction is its own stage
-        # (host work overlapped with the device forward)
-        assert set(tr.stages) == {"decode", "forward", "extract", "assemble"}
+        # (host work overlapped with the device forward); round 5 adds
+        # assemble.* sub-stages (cluster/segments/translate/summary)
+        core = {"decode", "forward", "extract", "assemble"}
+        assert core == {k for k in tr.stages if "." not in k}
+        subs = {k for k in tr.stages if "." in k}
+        assert subs and all(k.startswith("assemble.") for k in subs)
         assert tr.audio_seconds == pytest.approx(12.0, abs=0.1)
         assert tr.rtf > 0
         assert tr.to_dict()["audio_hours_per_min_per_chip"] > 0
